@@ -1,0 +1,343 @@
+"""Analytical se(3) pose-Jacobian lab (vectorized jnp).
+
+Rebuild of the reference's analytical-Jacobian verification pipeline:
+- Eq. 3, dmu_I/dtau  (reference Loss_Derivative_script.py:496-518)
+- Eq. 4, dSigma_I/dtau (reference Loss_Derivative_script.py:520-566 — the
+  symbolically-expanded dcovI_dW / dcovI_dJ matrices become structured
+  matrix calculus here)
+- the per-pixel alpha-blending backward producing dL/dmu_I, dL/dSigma_I,
+  dL/ddepth_i, dL/dcolor_i (reference
+  Loss_Derivative_script_compare.py:1173-1351)
+- the 4-path dL/dtau assembly: mean + covariance + depth + SH view-dir
+  (reference Loss_Derivative_script_compare.py:1587-1695)
+
+Conventions: tau = (rho, theta), left-multiplicative perturbation of T_CW,
+so dmu_C/dtau = [I | -skew(mu_C)] and dW/dtheta_k acts as -skew on the
+columns of R_CW (matching cuda_rasterizer/backward.cu:275-345).
+
+Two scaling modes for image-plane units:
+- ``exact`` — pixel-space Jacobians with du/d(x/z) = fx (verified against
+  jax autodiff of the forward in tests);
+- ``reference`` — the reference lab's own rescale, diag(2fx/W, 2fy/H) for
+  the mean and (K (x) K) with K=diag(fx,fy) for the covariance
+  (Loss_Derivative_script_compare.py:723-755), needed to reproduce
+  Jacob_test_result/dL_dtau.npy bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import sh as sh_ops
+from .lie import skew
+
+
+# ---------------------------------------------------------------------------
+# Eq. 3: dmu_I / dtau
+# ---------------------------------------------------------------------------
+
+def dmu_dtau_normalized(mu_c: jnp.ndarray) -> jnp.ndarray:
+    """d(mu_I)/d(tau) on the *normalized* image plane (u = x/z, v = y/z).
+
+    mu_c: (..., 3) camera-frame means.  Returns (..., 2, 6).
+    Eq. 3: dmuI/dmuC @ [I | -skew(mu_c)].
+    """
+    x, y, z = mu_c[..., 0], mu_c[..., 1], mu_c[..., 2]
+    a = 1.0 / z
+    b = -x / (z * z)
+    c = -y / (z * z)
+    zero = jnp.zeros_like(a)
+    # dmuI_dmuC: (..., 2, 3)
+    dmuI_dmuC = jnp.stack([
+        jnp.stack([a, zero, b], axis=-1),
+        jnp.stack([zero, a, c], axis=-1),
+    ], axis=-2)
+    dmuC_dtau = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=mu_c.dtype), mu_c.shape[:-1] + (3, 3)),
+         -skew(mu_c)], axis=-1)  # (..., 3, 6)
+    return dmuI_dmuC @ dmuC_dtau  # (..., 2, 6)
+
+
+# ---------------------------------------------------------------------------
+# Eq. 4: dSigma_I / dtau
+# ---------------------------------------------------------------------------
+
+def dSigma_dtau_normalized(
+    R_cw: jnp.ndarray, cov3d: jnp.ndarray, mu_c: jnp.ndarray
+) -> jnp.ndarray:
+    """d(Sigma_I)/d(tau) on the normalized image plane.
+
+    Sigma_I = A Sigma3 A^T with A = J @ W, J the 2x3 projection Jacobian at
+    mu_c and W = R_cw.  Derivative via product rule:
+        dSigma = dA Sigma A^T + A Sigma dA^T,
+        dA_k = (dJ/dmu_c · dmu_c/dtau_k) @ W + J @ dW/dtau_k,
+    where dW/drho = 0 and dW/dtheta_k = [e_k]x @ W (left perturbation).
+
+    Args:
+        R_cw: (3, 3); cov3d: (..., 3, 3); mu_c: (..., 3).
+    Returns:
+        (..., 2, 2, 6).
+    """
+    dtype = mu_c.dtype
+    x, y, z = mu_c[..., 0], mu_c[..., 1], mu_c[..., 2]
+    iz = 1.0 / z
+    iz2 = iz * iz
+    iz3 = iz2 * iz
+    zero = jnp.zeros_like(x)
+
+    J = jnp.stack([
+        jnp.stack([iz, zero, -x * iz2], axis=-1),
+        jnp.stack([zero, iz, -y * iz2], axis=-1),
+    ], axis=-2)                                             # (..., 2, 3)
+
+    # dJ/dmu_c: (..., 2, 3, 3) — dJ[i, j] w.r.t. mu_c[k]
+    dJ = jnp.zeros(mu_c.shape[:-1] + (2, 3, 3), dtype)
+    dJ = dJ.at[..., 0, 0, 2].set(-iz2)
+    dJ = dJ.at[..., 0, 2, 0].set(-iz2)
+    dJ = dJ.at[..., 0, 2, 2].set(2 * x * iz3)
+    dJ = dJ.at[..., 1, 1, 2].set(-iz2)
+    dJ = dJ.at[..., 1, 2, 1].set(-iz2)
+    dJ = dJ.at[..., 1, 2, 2].set(2 * y * iz3)
+
+    dmuC_dtau = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=dtype), mu_c.shape[:-1] + (3, 3)),
+         -skew(mu_c)], axis=-1)                             # (..., 3, 6)
+
+    # dJ/dtau_t = sum_k dJ/dmu_c[k] * dmu_c[k]/dtau_t : (..., 2, 3, 6)
+    dJ_dtau = jnp.einsum("...ijk,...kt->...ijt", dJ, dmuC_dtau)
+
+    # Left perturbation W(theta) = exp(theta) W: dW/dtheta_k = [e_k]x W.
+    # Column-wise this is the reference's -skew(W col_i) structure
+    # (Loss_Derivative_script.py:659-662, backward.cu:331-341).
+    E = jnp.eye(3, dtype=dtype)
+    gen = jnp.stack([skew(E[k]) @ R_cw for k in range(3)])   # (3, 3, 3)
+    dW_dtau = jnp.concatenate(
+        [jnp.zeros((3, 3, 3), dtype), gen], axis=0)          # (6, 3, 3)
+
+    # dA_t = dJ_dtau[..., t] @ W + J @ dW_dtau[t] : (..., 2, 3, 6)
+    dA = (jnp.einsum("...ijt,jk->...ikt", dJ_dtau, R_cw)
+          + jnp.einsum("...ij,tjk->...ikt", J, dW_dtau))
+
+    A = J @ R_cw                                            # (..., 2, 3)
+    SigAT = jnp.einsum("...ij,...kj->...ik", cov3d, A)      # (..., 3, 2)
+    term1 = jnp.einsum("...ikt,...kj->...ijt", dA, SigAT)   # dA Sig A^T
+    term2 = jnp.swapaxes(term1, -3, -2)                     # A Sig dA^T
+    return term1 + term2                                    # (..., 2, 2, 6)
+
+
+def pose_jacobians(
+    means_world: jnp.ndarray,   # (N, 3)
+    cov3d: jnp.ndarray,         # (N, 3, 3)
+    w2c: jnp.ndarray,           # (4, 4)
+    fx: float, fy: float, width: int, height: int,
+    mode: str = "exact",
+):
+    """Per-Gaussian (dmu_I/dtau (N,2,6), dSigma_I/dtau (N,2,2,6)) in image
+    units.
+
+    mode='exact': du/d(x/z) = fx (true pixel units, matches autodiff).
+    mode='reference': the reference lab's diag(2fx/W, 2fy/H) mean rescale
+    (Loss_Derivative_script_compare.py:724-725) — NDC units, kept for golden
+    parity. Covariance uses K (x) K with K = diag(fx, fy) in both modes
+    (the reference uses fx,fy there, which IS the exact pixel scaling).
+    """
+    R_cw = w2c[:3, :3]
+    mu_c = means_world @ R_cw.T + w2c[:3, 3]
+    dmu = dmu_dtau_normalized(mu_c)                         # (N, 2, 6)
+    dSig = dSigma_dtau_normalized(R_cw, cov3d, mu_c)        # (N, 2, 2, 6)
+
+    if mode == "exact":
+        su, sv = fx, fy
+    elif mode == "reference":
+        su, sv = 2.0 * fx / width, 2.0 * fy / height
+    else:
+        raise ValueError(mode)
+    scale_mu = jnp.asarray([su, sv], dmu.dtype)
+    dmu = dmu * scale_mu[None, :, None]
+
+    scale_sig = jnp.asarray([[fx * fx, fx * fy], [fy * fx, fy * fy]],
+                            dSig.dtype)
+    dSig = dSig * scale_sig[None, :, :, None]
+    return dmu, dSig
+
+
+# ---------------------------------------------------------------------------
+# Per-pixel alpha-blending backward (the lab's gradient kernel)
+# ---------------------------------------------------------------------------
+
+class LabGrads(NamedTuple):
+    grad_mu: jnp.ndarray        # (N, 2)
+    grad_sigma: jnp.ndarray     # (N, 2, 2)
+    grad_depth: jnp.ndarray     # (N,)
+    grad_color: jnp.ndarray     # (N, 3)
+
+
+def lab_forward_composite(
+    means2d: jnp.ndarray,   # (N, 2) pixel coords, DEPTH-SORTED front-to-back
+    covs2d: jnp.ndarray,    # (N, 2, 2) pixel-space covariances
+    colors: jnp.ndarray,    # (N, 3)
+    depths: jnp.ndarray,    # (N,)
+    opacities: jnp.ndarray, # (N,)
+    width: int, height: int,
+):
+    """The lab's simple alpha compositing (no 1/255 cutoff, no termination,
+    alpha clipped to [0,1]) — Loss_Derivative_script_compare.py:1264-1290.
+    Returns (color (H,W,3), depth (H,W)). Differentiable."""
+    ys = jnp.arange(height, dtype=means2d.dtype)
+    xs = jnp.arange(width, dtype=means2d.dtype)
+    px, py = jnp.meshgrid(xs, ys)
+    pix = jnp.stack([px, py], -1).reshape(-1, 2)            # (P, 2)
+
+    d = pix[:, None, :] - means2d[None, :, :]               # (P, N, 2)
+    cov_inv = jnp.linalg.inv(covs2d)                        # (N, 2, 2)
+    t = jnp.einsum("pni,nij->pnj", d, cov_inv)
+    expo = -0.5 * jnp.einsum("pni,pni->pn", t, d)
+    alpha = jnp.clip(opacities[None, :] * jnp.exp(expo), 0.0, 1.0)
+    one_minus = 1.0 - alpha
+    T_incl = jnp.cumprod(one_minus, axis=1)
+    T = jnp.concatenate([jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=1)
+    w = alpha * T
+    color = (w @ colors).reshape(height, width, 3)
+    depth = (w @ depths[:, None]).reshape(height, width)
+    return color, depth
+
+
+def lab_gradients(
+    means2d: jnp.ndarray, covs2d: jnp.ndarray, colors: jnp.ndarray,
+    depths: jnp.ndarray, opacities: jnp.ndarray,
+    rendered_color: jnp.ndarray,   # (H, W, 3)
+    rendered_depth: jnp.ndarray,   # (H, W)
+    gt_color: jnp.ndarray, gt_depth: jnp.ndarray,
+    mask: jnp.ndarray,             # (H, W) bool
+    chunk_rows: int = 8,
+) -> LabGrads:
+    """Vectorized port of compute_gradients_2D_vectorized_chunked
+    (reference Loss_Derivative_script_compare.py:1173-1351).
+
+    Loss convention: L = sum |C - gt| * mask + sum |D - gt_d| * (mask & gt_d>0)
+    (sign-L1, summed over pixels — the lab's grad_color/grad_depth).
+    """
+    H, W = rendered_depth.shape
+    dtype = means2d.dtype
+    grad_color_pix = jnp.sign(rendered_color - gt_color) * mask[..., None]
+    depth_valid = (gt_depth > 0.0) & mask
+    grad_depth_pix = jnp.sign(rendered_depth - gt_depth) * depth_valid
+
+    cov_inv = jnp.linalg.inv(covs2d)
+
+    ys = jnp.arange(H, dtype=dtype)
+    xs = jnp.arange(W, dtype=dtype)
+    px, py = jnp.meshgrid(xs, ys)
+    pix_all = jnp.stack([px, py], -1)
+
+    pad = (-H) % chunk_rows
+    def pad_rows(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+    n_chunks = (H + pad) // chunk_rows
+    pix_c = pad_rows(pix_all).reshape(n_chunks, chunk_rows * W, 2)
+    gc_c = pad_rows(grad_color_pix).reshape(n_chunks, chunk_rows * W, 3)
+    gd_c = pad_rows(grad_depth_pix).reshape(n_chunks, chunk_rows * W)
+
+    def body(args):
+        pix, gC, gD = args                                  # (P,2),(P,3),(P,)
+        d = pix[:, None, :] - means2d[None, :, :]           # (P, N, 2)
+        t = jnp.einsum("pni,nij->pnj", d, cov_inv)
+        expo = -0.5 * jnp.einsum("pni,pni->pn", t, d)
+        alpha = jnp.clip(opacities[None, :] * jnp.exp(expo), 0.0, 1.0)
+        one_minus = 1.0 - alpha
+        T_incl = jnp.cumprod(one_minus, axis=1)
+        T = jnp.concatenate(
+            [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=1)
+        aT = alpha * T                                       # (P, N)
+
+        g_depth = jnp.sum(aT * gD[:, None], axis=0)          # (N,)
+        g_color = jnp.sum(aT[:, :, None] * gC[:, None, :], axis=0)  # (N, 3)
+
+        color_contrib = colors[None] * aT[..., None]         # (P, N, 3)
+        depth_contrib = depths[None] * aT                    # (P, N)
+        # "sum after i": reverse-exclusive cumsum along N
+        def after(x):
+            rev = jnp.flip(jnp.cumsum(jnp.flip(x, 1), axis=1), 1)
+            return jnp.concatenate(
+                [rev[:, 1:], jnp.zeros_like(rev[:, :1])], axis=1)
+        color_after = after(color_contrib)
+        depth_after = after(depth_contrib)
+
+        safe = jnp.where(alpha < 0.999, 1.0 - alpha, 1.0)
+        dC_da = colors[None] * T[..., None] - color_after / safe[..., None]
+        dD_da = depths[None] * T - depth_after / safe
+        dL_da = (jnp.einsum("pi,pni->pn", gC, dC_da) + gD[:, None] * dD_da)
+
+        da_dmu = alpha[..., None] * jnp.einsum("nij,pnj->pni", cov_inv, d)
+        g_mu = jnp.sum(dL_da[..., None] * da_dmu, axis=0)    # (N, 2)
+
+        douter = jnp.einsum("pni,pnj->pnij", d, d)
+        tmp = jnp.einsum("nij,pnjk->pnik", cov_inv, douter)
+        da_dSig = 0.5 * alpha[..., None, None] * jnp.einsum(
+            "pnij,njk->pnik", tmp, cov_inv)
+        g_sig = jnp.sum(dL_da[..., None, None] * da_dSig, axis=0)  # (N,2,2)
+        return g_mu, g_sig, g_depth, g_color
+
+    gm_c, gs_c, gd_pc, gc_pc = jax.lax.map(body, (pix_c, gc_c, gd_c))
+    return LabGrads(
+        grad_mu=jnp.sum(gm_c, 0), grad_sigma=jnp.sum(gs_c, 0),
+        grad_depth=jnp.sum(gd_pc, 0), grad_color=jnp.sum(gc_pc, 0))
+
+
+# ---------------------------------------------------------------------------
+# dL/dtau assembly (4 paths)
+# ---------------------------------------------------------------------------
+
+def sh_viewdir_tau_grad(
+    means_world: jnp.ndarray,   # (N, 3)
+    shs: jnp.ndarray,           # (N, K, 3)
+    sh_degree: int,
+    campos: jnp.ndarray,        # (3,)
+    grad_color: jnp.ndarray,    # (N, 3) dL/dc_i with clamp mask pre-applied
+) -> jnp.ndarray:
+    """SH view-direction path: translation-only approximation used by the
+    reference (backward.cu:141-144; compare script 1636-1660).
+    Returns (6,) with only rho components populated."""
+    dirs = means_world - campos[None]
+
+    def color_of_dir(dir_orig, sh):
+        n = jnp.linalg.norm(dir_orig) + 1e-8
+        return sh_ops.eval_sh(sh_degree, sh, dir_orig / n)
+
+    # dL/d(dir_orig) per gaussian via vjp (== dnormvdv + SH polynomial bwd)
+    def g_one(dir_orig, sh, gc):
+        _, vjp = jax.vjp(lambda d: color_of_dir(d, sh), dir_orig)
+        return vjp(gc)[0]
+
+    dL_ddir = jax.vmap(g_one)(dirs, shs, grad_color)         # (N, 3)
+    out = jnp.zeros((6,), means_world.dtype)
+    return out.at[:3].set(-jnp.sum(dL_ddir, axis=0))
+
+
+def assemble_dL_dtau(
+    grads: LabGrads,
+    dmu_dtau: jnp.ndarray,      # (N, 2, 6)
+    dsig_dtau: jnp.ndarray,     # (N, 2, 2, 6)
+    mu_c: jnp.ndarray,          # (N, 3) camera-frame means
+    sh_term: jnp.ndarray,       # (6,)
+):
+    """Total dL/dtau = mu-path + cov-path + depth-path + SH-path
+    (reference Loss_Derivative_script_compare.py:1613-1683).
+
+    depth path: dd/dtau = [0, 0, 1, p_C.y, -p_C.x, 0]
+    (row 3 of [I | -skew(p_C)]).
+    Returns (total (6,), breakdown dict).
+    """
+    mu_term = jnp.einsum("ni,nit->t", grads.grad_mu, dmu_dtau)
+    cov_term = jnp.einsum("nij,nijt->t", grads.grad_sigma, dsig_dtau)
+    N = mu_c.shape[0]
+    dd_dtau = jnp.stack([
+        jnp.zeros(N, mu_c.dtype), jnp.zeros(N, mu_c.dtype),
+        jnp.ones(N, mu_c.dtype), mu_c[:, 1], -mu_c[:, 0],
+        jnp.zeros(N, mu_c.dtype)], axis=-1)                 # (N, 6)
+    depth_term = jnp.einsum("n,nt->t", grads.grad_depth, dd_dtau)
+    total = mu_term + cov_term + depth_term + sh_term
+    return total, dict(mu=mu_term, cov=cov_term, depth=depth_term, sh=sh_term)

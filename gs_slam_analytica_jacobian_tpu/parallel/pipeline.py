@@ -1,0 +1,158 @@
+"""Tracking/mapping host-thread pipeline.
+
+TPU-native replacement for the reference's two-process architecture
+(slam.py:63-110: torch.multiprocessing Queues with spawn + CUDA tensor
+sharing). JAX arrays are immutable and device-resident, so a "clone" of
+the whole Gaussian map (the reference's clone_obj,
+multiprocessing_utils.py:21-31) is a free reference copy between host
+threads, and queue.Queue replaces mp.Queue. The message grammar is kept:
+
+  frontend -> backend: ["init", ...] | ["keyframe", ...] | ["color_refinement"]
+                       | ["stop"]
+  backend -> frontend: ["sync_backend"|"init"|"keyframe", gm,
+                        occ_aware_visibility, keyframe_poses]
+
+(reference slam_frontend.py:288-300, slam_backend.py:355-365).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+from ..utils.logging import Log
+
+
+class FakeQueue:
+    """Null transport (reference multiprocessing_utils.py:7-18)."""
+
+    def put(self, *a, **k):
+        pass
+
+    def get_nowait(self):
+        raise queue.Empty
+
+    def get(self, *a, **k):
+        raise queue.Empty
+
+    def qsize(self):
+        return 0
+
+    def empty(self):
+        return True
+
+
+class BackendLink:
+    """Frontend-side handle to the backend thread."""
+
+    def __init__(self, backend_queue: queue.Queue,
+                 frontend_queue: queue.Queue):
+        self.backend_queue = backend_queue
+        self.frontend_queue = frontend_queue
+
+    def send(self, msg):
+        self.backend_queue.put(msg)
+
+    def drain(self, frontend):
+        """Apply all pending backend->frontend messages."""
+        while True:
+            try:
+                data = self.frontend_queue.get_nowait()
+            except queue.Empty:
+                return
+            self._apply(frontend, data)
+
+    def wait_init(self, frontend):
+        while True:
+            data = self.frontend_queue.get()
+            self._apply(frontend, data)
+            if data[0] == "init":
+                return
+
+    def wait_all_keyframes(self, frontend):
+        while frontend.requested_keyframe > 0:
+            data = self.frontend_queue.get()
+            self._apply(frontend, data)
+
+    @staticmethod
+    def _apply(frontend, data):
+        tag = data[0]
+        if tag in ("sync_backend", "init", "keyframe"):
+            frontend.sync_backend(tuple(data[1:4]))
+            if tag == "keyframe":
+                frontend.requested_keyframe -= 1
+
+
+def backend_loop(backend, backend_queue: queue.Queue,
+                 frontend_queue: queue.Queue):
+    """The backend thread's message loop (reference BackEnd.run,
+    slam_backend.py:367-482): idle single-iteration mapping with periodic
+    syncs, plus message handling."""
+
+    def push(tag="sync_backend"):
+        backend.last_sent = 0
+        frontend_queue.put([tag, backend.gm,
+                            dict(backend.occ_aware_visibility),
+                            backend.keyframe_poses()])
+
+    while True:
+        if backend_queue.empty():
+            if len(backend.current_window) == 0:
+                time.sleep(0.01)
+                continue
+            backend.map(backend.current_window)
+            if backend.last_sent >= 10:
+                backend.map(backend.current_window, prune=True, iters=10)
+                push()
+        else:
+            data = backend_queue.get()
+            tag = data[0]
+            if tag == "stop":
+                break
+            elif tag == "color_refinement":
+                backend.color_refinement()
+                push()
+            elif tag == "init":
+                _, idx, rec, depth_map = data
+                Log("Resetting the system", tag="Backend")
+                backend.reset_state()
+                backend.add_next_kf(
+                    idx, rec.R, rec.t, rec.exposure_a, rec.exposure_b,
+                    rec.gt_image, rec.gt_depth, depth_map, init=True)
+                backend.initialize_map(idx)
+                backend.current_window = [idx]
+                push("init")
+            elif tag == "keyframe":
+                _, idx, rec, window, depth_map = data
+                backend.add_next_kf(
+                    idx, rec.R, rec.t, rec.exposure_a, rec.exposure_b,
+                    rec.gt_image, rec.gt_depth, depth_map)
+                backend.handle_keyframe(idx, window)
+                push("keyframe")
+            else:
+                raise RuntimeError(f"Unprocessed message {tag}")
+    # drain (reference slam_backend.py:478-481)
+    while not backend_queue.empty():
+        backend_queue.get()
+
+
+def run_pipelined(frontend, backend, n_frames: int):
+    """Run the SLAM system with the backend on its own host thread."""
+    backend_queue: queue.Queue = queue.Queue()
+    frontend_queue: queue.Queue = queue.Queue()
+    link = BackendLink(backend_queue, frontend_queue)
+    frontend.link = link
+
+    thread = threading.Thread(
+        target=backend_loop, args=(backend, backend_queue, frontend_queue),
+        daemon=True)
+    thread.start()
+    try:
+        for idx in range(n_frames):
+            frontend.process_frame(idx)
+        link.wait_all_keyframes(frontend)
+    finally:
+        backend_queue.put(["stop"])
+        thread.join(timeout=60)
+        frontend.link = None

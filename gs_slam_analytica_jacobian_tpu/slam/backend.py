@@ -1,0 +1,388 @@
+"""Mapping backend driver (host orchestration around the jitted steps).
+
+Rebuild of reference utils/slam_backend.py:16-482 (BackEnd): the message
+grammar, the densify/prune/opacity-reset schedule, initial BA, covisibility
+pruning and color refinement. Runs either inline (single_thread) or as a
+host thread fed by a queue (parallel.pipeline).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Camera
+from ..models import gaussian_map as gmap
+from ..models.gaussian_map import AdamState, GaussianMap
+from ..utils.logging import Log
+from . import mapping, seeding
+from .mapping import KFStore, PoseAdamState
+
+
+class BackEnd:
+    def __init__(self, config: dict, cam_template: Camera,
+                 interpret: bool = False):
+        self.config = config
+        self.cam = cam_template
+        self.interpret = interpret
+        self.device = jax.devices()[0]
+
+        T = config["Training"]
+        self.monocular = T["monocular"]
+        self.init_itr_num = T["init_itr_num"]
+        self.init_gaussian_update = T["init_gaussian_update"]
+        self.init_gaussian_reset = T["init_gaussian_reset"]
+        self.init_gaussian_th = T["init_gaussian_th"]
+        self.cameras_extent = 6.0
+        self.init_gaussian_extent = (
+            self.cameras_extent * T["init_gaussian_extent"])
+        self.mapping_itr_num = T["mapping_itr_num"]
+        self.gaussian_update_every = T["gaussian_update_every"]
+        self.gaussian_update_offset = T["gaussian_update_offset"]
+        self.gaussian_th = T["gaussian_th"]
+        self.gaussian_extent = self.cameras_extent * T["gaussian_extent"]
+        self.gaussian_reset = T["gaussian_reset"]
+        self.size_threshold = T["size_threshold"]
+        self.window_size = T["window_size"]
+        self.pose_window = T["pose_window"]
+        self.lr_rot = T["lr"]["cam_rot_delta"]
+        self.lr_trans = T["lr"]["cam_trans_delta"]
+        self.rgb_boundary_threshold = T["rgb_boundary_threshold"]
+        self.alpha = T.get("alpha", 0.95)
+        self.single_thread = config["Dataset"].get("single_thread", False)
+        self.prune_mode = T.get("prune_mode", "slam")
+        self.kf_capacity = T.get("kf_capacity", 128)
+        self.use_oracle = T.get("renderer", "tiled") == "oracle"
+        self.live_mode = False
+
+        op = config["opt_params"]
+        self.opt_params = op
+        self.densify_grad_threshold = op["densify_grad_threshold"]
+        self.percent_dense = op["percent_dense"]
+        self.lambda_dssim = op["lambda_dssim"]
+        self.spatial_lr_scale = 5.0   # nerf_normalization radius (dataset.py:249)
+        self.pair_capacity = T.get("pair_capacity", 1 << 20)
+
+        sh_degree = config["model_params"]["sh_degree"]
+        init_cap = T.get("initial_capacity", 1 << 16)
+        self.gm = GaussianMap.empty(init_cap, sh_degree)
+        self.gm_adam = gmap.adam_init(self.gm)
+
+        self.store = KFStore.empty(
+            self.kf_capacity, cam_template.height, cam_template.width)
+        self.uid_to_slot: Dict[int, int] = {}
+        self.current_window: List[int] = []   # frame uids, newest first
+        self.occ_aware_visibility: Dict[int, np.ndarray] = {}
+        self.iteration_count = 0
+        self.last_sent = 0
+        self.initialized = not self.monocular
+        self.pose_adam = PoseAdamState.zero(self.window_size + 2)
+        self._key = jax.random.PRNGKey(config.get("seed", 0))
+        self._py_rng = random.Random(config.get("seed", 0))
+        self.bg = jnp.zeros((3,), jnp.float32)
+
+    # ------------------------------------------------------------------
+    def reset_state(self):
+        """reference BackEnd.reset (slam_backend.py:72-84): drop all
+        gaussians and keyframe state."""
+        self.iteration_count = 0
+        self.occ_aware_visibility = {}
+        self.current_window = []
+        self.initialized = not self.monocular
+        self.pose_adam = PoseAdamState.zero(self.window_size + 2)
+        self.gm, self.gm_adam = gmap.prune(
+            self.gm, self.gm_adam, jnp.ones((self.gm.capacity,), bool))
+        self.store = KFStore.empty(
+            self.kf_capacity, self.cam.height, self.cam.width)
+        self.uid_to_slot = {}
+
+    def _split_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _gm_lrs(self, xyz_lr=None):
+        return gmap.default_lrs(self.opt_params, self.spatial_lr_scale,
+                                xyz_lr=xyz_lr)
+
+    def _xyz_lr(self, iteration):
+        op = self.opt_params
+        t = np.clip(iteration / op["position_lr_max_steps"], 0.0, 1.0)
+        lr_init = op["position_lr_init"] * self.spatial_lr_scale
+        lr_final = op["position_lr_final"] * self.spatial_lr_scale
+        return float(np.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t))
+
+    def _ensure_capacity(self, incoming: int):
+        free = self.gm.capacity - int(self.gm.num_active())
+        while free < incoming:
+            new_cap = self.gm.capacity * 2
+            Log(f"Growing map capacity to {new_cap}", tag="Backend")
+            self.gm, self.gm_adam = gmap.grow(self.gm, self.gm_adam, new_cap)
+            free = self.gm.capacity - int(self.gm.num_active())
+
+    def add_next_kf(self, frame_idx: int, R, t, exposure_a, exposure_b,
+                    gt_image, gt_depth, depth_map, init=False):
+        """Store the keyframe + seed new gaussians from its depth map
+        (reference add_next_kf -> extend_from_pcd_seq,
+        slam_backend.py:67-70)."""
+        slot = self.uid_to_slot.get(frame_idx)
+        if slot is None:
+            slot = len(self.uid_to_slot)
+            assert slot < self.kf_capacity, "KF store full"
+            self.uid_to_slot[frame_idx] = slot
+        gt_depth_arr = (jnp.zeros((1, self.cam.height, self.cam.width))
+                        if gt_depth is None else jnp.asarray(gt_depth))
+        if gt_depth_arr.ndim == 2:
+            gt_depth_arr = gt_depth_arr[None]
+        self.store = self.store.add(
+            slot, jnp.asarray(R), jnp.asarray(t), jnp.asarray(exposure_a),
+            jnp.asarray(exposure_b), jnp.asarray(gt_image), gt_depth_arr,
+            frame_idx)
+
+        ds_cfg = self.config["Dataset"]
+        factor = (ds_cfg["pcd_downsample_init"] if init
+                  else ds_cfg["pcd_downsample"])
+        block = seeding.seed_from_frame(
+            jnp.asarray(gt_image), jnp.asarray(depth_map), self.cam,
+            self._w2c(slot),
+            frame_idx, self._split_key(), factor,
+            ds_cfg["point_size"], ds_cfg.get("adaptive_pointsize", False),
+            self.gm.max_sh_degree)
+        n_new = int(jnp.sum(block.valid))
+        self._ensure_capacity(n_new)
+        self.gm, self.gm_adam, ov = gmap.extend(self.gm, self.gm_adam, block)
+        if int(ov) > 0:
+            Log(f"extend overflow {int(ov)}", tag="Backend")
+
+    def _w2c(self, slot):
+        w = jnp.eye(4)
+        w = w.at[:3, :3].set(self.store.R[slot])
+        w = w.at[:3, 3].set(self.store.t[slot])
+        return w
+
+    # ------------------------------------------------------------------
+    def _window_tensors(self, window_uids: List[int],
+                        random_uids: List[int], frames_to_optimize: int):
+        F = self.window_size + 2
+        idx = np.zeros(F, np.int32)
+        valid = np.zeros(F, bool)
+        opt_pose = np.zeros(F, bool)
+        opt_exp = np.zeros(F, bool)
+        for i, uid in enumerate(window_uids[:self.window_size]):
+            idx[i] = self.uid_to_slot[uid]
+            valid[i] = True
+            if uid != 0:
+                opt_exp[i] = True
+                if i < frames_to_optimize:
+                    opt_pose[i] = True
+        for j, uid in enumerate(random_uids[:2]):
+            idx[self.window_size + j] = self.uid_to_slot[uid]
+            valid[self.window_size + j] = True
+        return (jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(opt_pose),
+                jnp.asarray(opt_exp))
+
+    def _pick_randoms(self):
+        pool = [u for u in self.uid_to_slot
+                if u not in set(self.current_window)]
+        self._py_rng.shuffle(pool)
+        return pool[:2]
+
+    def _run_batch(self, window_uids, randoms_per_iter, frames_to_optimize,
+                   initialization):
+        """Run a batch of map iterations as ONE device program."""
+        T = len(randoms_per_iter)
+        rows = []
+        valid = opt_pose = opt_exp = None
+        for randoms in randoms_per_iter:
+            idx, valid, opt_pose, opt_exp = self._window_tensors(
+                window_uids, randoms, frames_to_optimize)
+            rows.append(idx)
+        window_idx = jnp.stack(rows)
+        xyz_lrs = jnp.asarray(
+            [self._xyz_lr(self.iteration_count + 1 + i) for i in range(T)],
+            jnp.float32)
+        out = mapping.mapping_steps(
+            self.gm, self.gm_adam, self.store, window_idx, valid,
+            opt_pose, opt_exp, self.pose_adam, self.cam, self.bg,
+            self._gm_lrs(), xyz_lrs,
+            self.lr_rot * 0.5, self.lr_trans * 0.5,
+            self.rgb_boundary_threshold,
+            n_window=self.window_size,
+            alpha=self.alpha, monocular=self.monocular,
+            initialization=initialization,
+            pair_capacity=self.pair_capacity, interpret=self.interpret,
+            use_oracle=self.use_oracle)
+        self.iteration_count += T
+        self.last_sent += T
+        self.gm, self.gm_adam = out.gm, out.gm_adam
+        self.store, self.pose_adam = out.store, out.pose_adam
+        return out
+
+    def _next_event(self, it: int) -> int:
+        """Iterations until the next densify/opacity-reset boundary AFTER
+        iteration `it` (exclusive) — the schedule of slam_backend.py:286-305."""
+        e, o, r = (self.gaussian_update_every, self.gaussian_update_offset,
+                   self.gaussian_reset)
+        nxt_update = it + ((o - it - 1) % e) + 1
+        nxt_reset = it + ((-it - 1) % r) + 1
+        return min(nxt_update, nxt_reset)
+
+    def map(self, window_uids: List[int], prune: bool = False,
+            iters: int = 1, frames_to_optimize: Optional[int] = None,
+            initialization: bool = False):
+        """reference BackEnd.map (slam_backend.py:142-318). Iterations are
+        batched on-device between densify/reset schedule boundaries."""
+        if len(window_uids) == 0:
+            return False
+        if frames_to_optimize is None:
+            frames_to_optimize = self.pose_window
+
+        out = None
+        remaining = iters
+        while remaining > 0:
+            if prune or initialization:
+                batch = remaining
+            else:
+                batch = min(remaining,
+                            self._next_event(self.iteration_count)
+                            - self.iteration_count)
+            randoms = [self._pick_randoms() if not initialization else []
+                       for _ in range(batch)]
+            out = self._run_batch(window_uids, randoms, frames_to_optimize,
+                                  initialization)
+            remaining -= batch
+
+            if prune:
+                self._covisibility_prune(window_uids, out.n_touched)
+                return False
+            if initialization:
+                continue
+
+            it = self.iteration_count
+            if it % self.gaussian_update_every == self.gaussian_update_offset:
+                self._densify_and_prune(
+                    self.gaussian_th, self.gaussian_extent,
+                    self.size_threshold)
+            elif it % self.gaussian_reset == 0:
+                Log("Resetting opacity of non-visible gaussians",
+                    tag="Backend")
+                vis_any = jnp.any(out.radii > 0, axis=0)
+                self.gm, self.gm_adam = gmap.reset_opacity_nonvisible(
+                    self.gm, self.gm_adam, vis_any)
+
+        # record occ-aware visibility for window frames
+        if out is not None:
+            for i, uid in enumerate(window_uids[:self.window_size]):
+                self.occ_aware_visibility[uid] = np.asarray(
+                    out.n_touched[i] > 0)
+        return True
+
+    def _densify_and_prune(self, th, extent, size_threshold):
+        # ensure headroom for split/clone (up to 2x active)
+        self._ensure_capacity(int(self.gm.num_active()))
+        self.gm, self.gm_adam, ov = gmap.densify_and_prune(
+            self.gm, self.gm_adam, self._split_key(),
+            self.densify_grad_threshold, th, extent, size_threshold,
+            self.percent_dense)
+        if int(ov) > 0:
+            Log(f"densify overflow {int(ov)}", tag="Backend")
+
+    def _covisibility_prune(self, window_uids, n_touched):
+        """reference slam_backend.py:244-275 (prune_mode slam/odometry)."""
+        self.occ_aware_visibility = {}
+        for i, uid in enumerate(window_uids[:self.window_size]):
+            self.occ_aware_visibility[uid] = np.asarray(n_touched[i] > 0)
+
+        if len(window_uids) == self.window_size:
+            prune_coviz = 3
+            n_obs = np.zeros(self.gm.capacity, np.int32)
+            for vis in self.occ_aware_visibility.values():
+                n_obs += vis.astype(np.int32)
+            self.gm = self.gm.replace(n_obs=jnp.asarray(n_obs))
+            to_prune = None
+            if self.prune_mode == "odometry":
+                to_prune = n_obs < 3
+            if self.prune_mode == "slam":
+                sorted_window = sorted(window_uids, reverse=True)
+                kfids = np.asarray(self.gm.unique_kfids)
+                mask = kfids >= sorted_window[2]
+                if not self.initialized:
+                    mask = kfids >= 0
+                to_prune = (n_obs <= prune_coviz) & mask
+            if to_prune is not None and self.monocular:
+                self.gm, self.gm_adam = gmap.prune(
+                    self.gm, self.gm_adam, jnp.asarray(to_prune))
+            if not self.initialized:
+                self.initialized = True
+                Log("Initialized SLAM", tag="Backend")
+
+    # ------------------------------------------------------------------
+    def initialize_map(self, frame_uid: int):
+        """reference initialize_map (slam_backend.py:86-140), with the
+        iterations between densify/reset events batched on-device."""
+        events = sorted(set(
+            list(range(self.init_gaussian_update, self.init_itr_num + 1,
+                       self.init_gaussian_update))
+            + [self.init_gaussian_reset,
+               self.opt_params["densify_from_iter"]]))
+        done = 0
+        for ev in events + [self.init_itr_num]:
+            if ev <= done or ev > self.init_itr_num:
+                continue
+            self.map([frame_uid], iters=ev - done, initialization=True,
+                     frames_to_optimize=0)
+            done = ev
+            if ev % self.init_gaussian_update == 0:
+                self._densify_and_prune(
+                    self.init_gaussian_th, self.init_gaussian_extent, None)
+            if ev in (self.init_gaussian_reset,
+                      self.opt_params["densify_from_iter"]):
+                self.gm, self.gm_adam = gmap.reset_opacity(
+                    self.gm, self.gm_adam)
+        Log("Initialized map", tag="Backend")
+
+    def handle_keyframe(self, frame_idx, window_uids):
+        """reference slam_backend.py:409-475."""
+        self.current_window = list(window_uids)
+        iter_per_kf = self.mapping_itr_num if self.single_thread else 10
+        frames_to_optimize = self.pose_window
+        if not self.initialized:
+            if len(self.current_window) == self.window_size:
+                frames_to_optimize = self.window_size - 1
+                iter_per_kf = 50 if self.live_mode else 300
+                Log("Performing initial BA for initialization",
+                    tag="Backend")
+            else:
+                iter_per_kf = self.mapping_itr_num
+        self.pose_adam = PoseAdamState.zero(self.window_size + 2)
+        self.map(self.current_window, iters=iter_per_kf,
+                 frames_to_optimize=frames_to_optimize)
+        self.map(self.current_window, prune=True,
+                 frames_to_optimize=frames_to_optimize)
+
+    def color_refinement(self, iteration_total: int = 26000):
+        """reference slam_backend.py:320-353."""
+        Log("Starting color refinement", tag="Backend")
+        uids = list(self.uid_to_slot.keys())
+        for it in range(1, iteration_total + 1):
+            uid = uids[self._py_rng.randint(0, len(uids) - 1)]
+            slot = self.uid_to_slot[uid]
+            self.gm, self.gm_adam, _ = mapping.color_refinement_step(
+                self.gm, self.gm_adam, self.store, jnp.asarray(slot),
+                self.cam, self.bg,
+                self._gm_lrs(self._xyz_lr(it)), self.lambda_dssim,
+                pair_capacity=self.pair_capacity, interpret=self.interpret,
+                use_oracle=self.use_oracle)
+        Log("Map refinement done", tag="Backend")
+
+    def keyframe_poses(self):
+        """Poses to sync back to the frontend (push_to_frontend payload)."""
+        out = []
+        for uid in self.current_window:
+            slot = self.uid_to_slot[uid]
+            out.append((uid, np.asarray(self.store.R[slot]),
+                        np.asarray(self.store.t[slot])))
+        return out

@@ -1,0 +1,108 @@
+"""SLAM driver: wires dataset, frontend, backend; runs the system; evals.
+
+Rebuild of reference slam.py:26-258 (the SLAM class + __main__): config
+munching, process spawning (here: single-thread inline or host threads via
+parallel.pipeline), FPS accounting, final ATE + rendering eval, color
+refinement, map save.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Camera
+from ..utils import eval as eval_utils
+from ..utils import ply
+from ..utils.datasets import load_dataset
+from ..utils.logging import Log
+from .backend import BackEnd
+from .frontend import FrontEnd
+from .render_api import render
+
+
+class SLAM:
+    def __init__(self, config: dict, save_dir: Optional[str] = None,
+                 interpret: bool = False):
+        self.config = config
+        self.save_dir = save_dir
+        # derive monocular from the sensor type (reference slam.py:44-52)
+        config["Training"].setdefault(
+            "monocular",
+            config["Dataset"].get("sensor_type") == "monocular")
+        self.dataset = load_dataset(config)
+        self.monocular = config["Training"]["monocular"]
+
+        self.cam = Camera.create(
+            np.eye(3), np.zeros(3),
+            self.dataset.fx, self.dataset.fy, self.dataset.cx,
+            self.dataset.cy, self.dataset.width, self.dataset.height)
+
+        self.backend = BackEnd(config, self.cam, interpret=interpret)
+        self.frontend = FrontEnd(config, self.dataset, self.cam,
+                                 self.backend, interpret=interpret)
+        self.use_threads = not config["Training"].get("single_thread", True)
+
+    def run(self, n_frames: Optional[int] = None,
+            eval_rendering: bool = False, color_refinement_iters=None):
+        N = len(self.dataset) if n_frames is None else min(
+            n_frames, len(self.dataset))
+        t0 = time.time()
+        if self.use_threads:
+            from ..parallel.pipeline import run_pipelined
+            run_pipelined(self.frontend, self.backend, N)
+        else:
+            for idx in range(N):
+                info = self.frontend.process_frame(idx)
+                if info.get("reset"):
+                    continue
+        jax.block_until_ready(self.backend.gm.xyz)
+        wall = time.time() - t0
+        fps = N / wall
+        Log(f"Total FPS: {fps:.3f} ({N} frames in {wall:.1f}s)", tag="Eval")
+
+        results = dict(fps=fps, n_frames=N, wall_time=wall)
+        if self.frontend.kf_indices:
+            results["ate"] = eval_utils.eval_ate(
+                self.frontend.frames, self.frontend.kf_indices,
+                self.save_dir, final=True, monocular=self.monocular)
+
+        if eval_rendering:
+            results["rendering_before_opt"] = self._eval_rendering("before")
+            iters = (color_refinement_iters
+                     if color_refinement_iters is not None else 26000)
+            if iters:
+                self.backend.color_refinement(iters)
+                self.frontend.sync_backend()
+                results["rendering_after_opt"] = self._eval_rendering(
+                    "after")
+        if self.save_dir:
+            ply.save_ply(self.backend.gm,
+                         os.path.join(self.save_dir, "point_cloud",
+                                      "final", "point_cloud.ply"))
+        return results
+
+    def _eval_rendering(self, tag):
+        def render_rec(rec):
+            cam = self.cam.replace(R=jnp.asarray(rec.R),
+                                   t=jnp.asarray(rec.t))
+            return render(self.backend.gm, cam, None,
+                          pair_capacity=self.backend.pair_capacity,
+                          interpret=self.backend.interpret)
+
+        # frames were cleaned; reload poses exist in frontend.frames
+        class _RecView:
+            pass
+
+        frames = {}
+        for idx in range(len(self.dataset)):
+            if idx in self.frontend.frames:
+                frames[idx] = self.frontend.frames[idx]
+        return eval_utils.eval_rendering(
+            frames, self.frontend.kf_indices, self.dataset, render_rec,
+            self.save_dir, iteration=tag)

@@ -1,0 +1,334 @@
+"""Tracking frontend driver (host orchestration around the jitted tracking).
+
+Rebuild of reference utils/slam_frontend.py:18-497 (FrontEnd): per-frame
+tracking, keyframe selection (translation + covisibility overlap),
+window management (Szymkiewicz-Simpson culling), keyframe depth-prior
+construction for monocular, and the backend message protocol.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Camera
+from ..ops import losses
+from ..utils.logging import Log
+from . import tracking
+
+
+@dataclass
+class FrameRecord:
+    """Host-side per-frame state (the reference's Camera objects live in a
+    dict; heavy tensors are dropped by cleanup())."""
+
+    uid: int
+    R: np.ndarray
+    t: np.ndarray
+    R_gt: np.ndarray
+    t_gt: np.ndarray
+    exposure_a: float = 0.0
+    exposure_b: float = 0.0
+    gt_image: Optional[np.ndarray] = None   # (3, H, W)
+    gt_depth: Optional[np.ndarray] = None   # (H, W)
+    grad_mask: Optional[np.ndarray] = None
+
+    def clean(self):
+        self.gt_image = None
+        self.gt_depth = None
+        self.grad_mask = None
+
+
+class FrontEnd:
+    def __init__(self, config: dict, dataset, cam_template: Camera,
+                 backend, interpret: bool = False):
+        self.config = config
+        self.dataset = dataset
+        self.cam = cam_template
+        self.backend = backend
+        self.link = None          # set by parallel.pipeline for async mode
+        self.gm = backend.gm      # map snapshot used for tracking
+        self.requested_keyframe = 0
+        self.interpret = interpret
+
+        T = config["Training"]
+        self.monocular = T["monocular"]
+        self.tracking_itr_num = T["tracking_itr_num"]
+        self.kf_interval = T["kf_interval"]
+        self.window_size = T["window_size"]
+        self.single_thread = T.get("single_thread", True)
+        self.kf_translation = T["kf_translation"]
+        self.kf_min_translation = T["kf_min_translation"]
+        self.kf_overlap = T["kf_overlap"]
+        self.kf_cutoff = T.get("kf_cutoff", 0.4)
+        self.edge_threshold = T["edge_threshold"]
+        self.rgb_boundary_threshold = T["rgb_boundary_threshold"]
+        self.alpha = T.get("alpha", 0.95)
+        self.lr_rot = T["lr"]["cam_rot_delta"]
+        self.lr_trans = T["lr"]["cam_trans_delta"]
+        self.pair_capacity = T.get("pair_capacity", 1 << 20)
+        self.use_oracle = T.get("renderer", "tiled") == "oracle"
+        self.dataset_type = config["Dataset"]["type"]
+
+        self.initialized = not self.monocular
+        self.frames: Dict[int, FrameRecord] = {}
+        self.kf_indices: List[int] = []
+        self.current_window: List[int] = []
+        self.occ_aware_visibility: Dict[int, np.ndarray] = {}
+        self.median_depth = 1.0
+        self.reset = True
+        self.bg = jnp.zeros((3,), jnp.float32)
+        self._rng = np.random.default_rng(config.get("seed", 0))
+
+    # ------------------------------------------------------------------
+    def load_frame(self, idx: int) -> FrameRecord:
+        image, depth, pose = self.dataset[idx]
+        pose = np.asarray(pose)
+        gray = jnp.asarray(image).mean(axis=0, keepdims=True)
+        grad_mask = np.asarray(losses.compute_grad_mask(
+            gray, self.edge_threshold, self.dataset_type))
+        rec = FrameRecord(
+            uid=idx, R=pose[:3, :3].astype(np.float32),
+            t=pose[:3, 3].astype(np.float32),
+            R_gt=pose[:3, :3].astype(np.float32),
+            t_gt=pose[:3, 3].astype(np.float32),
+            gt_image=np.asarray(image), gt_depth=depth,
+            grad_mask=grad_mask)
+        self.frames[idx] = rec
+        return rec
+
+    # ------------------------------------------------------------------
+    def add_new_keyframe(self, idx: int, depth=None, opacity=None,
+                         init: bool = False) -> np.ndarray:
+        """Depth map used for Gaussian seeding
+        (reference slam_frontend.py:57-108)."""
+        rec = self.frames[idx]
+        self.kf_indices.append(idx)
+        gt_img = rec.gt_image
+        valid_rgb = gt_img.sum(axis=0) > self.rgb_boundary_threshold
+        if self.monocular:
+            if depth is None:
+                initial = 2 * np.ones(gt_img.shape[1:], np.float32)
+                initial += (self._rng.standard_normal(initial.shape)
+                            .astype(np.float32) * 0.3)
+            else:
+                depth = np.asarray(depth)[0]
+                opac = np.asarray(opacity)[0]
+                valid = (depth > 0) & (opac > 0.95) & valid_rgb
+                vals = depth[valid]
+                if vals.size == 0:
+                    med, std = 2.0, 0.5
+                else:
+                    med, std = float(np.median(vals)), float(np.std(vals))
+                invalid = (depth > med + std) | (depth < med - std) | ~valid
+                depth = np.where(invalid, med, depth)
+                noise_scale = np.where(invalid, std * 0.5, std * 0.2)
+                initial = depth + (self._rng.standard_normal(depth.shape)
+                                   .astype(np.float32) * noise_scale)
+            initial[~valid_rgb] = 0
+            return initial.astype(np.float32)
+        initial = np.array(rec.gt_depth, np.float32)
+        initial[~valid_rgb] = 0
+        return initial
+
+    # ------------------------------------------------------------------
+    def initialize(self, idx: int, rec: FrameRecord):
+        """reference slam_frontend.py:110-126."""
+        self.initialized = not self.monocular
+        self.kf_indices = []
+        self.occ_aware_visibility = {}
+        self.current_window = []
+        rec.R, rec.t = rec.R_gt.copy(), rec.t_gt.copy()
+        depth_map = self.add_new_keyframe(idx, init=True)
+        self.backend_request_init(idx, rec, depth_map)
+        self.reset = False
+
+    # ------------------------------------------------------------------
+    def track(self, idx: int, rec: FrameRecord):
+        """reference FrontEnd.tracking (slam_frontend.py:128-196)."""
+        prev = self.frames[idx - 1]
+        gt_depth = (np.zeros((1,) + rec.gt_image.shape[1:], np.float32)
+                    if rec.gt_depth is None else
+                    np.asarray(rec.gt_depth, np.float32)[None])
+        (R, t, ea, eb, iters, out, med) = tracking.track_frame(
+            self.gm, self.cam,
+            jnp.asarray(prev.R), jnp.asarray(prev.t),
+            jnp.asarray(rec.gt_image), jnp.asarray(gt_depth),
+            jnp.asarray(rec.grad_mask), self.bg,
+            self.lr_rot, self.lr_trans, self.rgb_boundary_threshold,
+            alpha=self.alpha, monocular=self.monocular,
+            max_iters=self.tracking_itr_num,
+            pair_capacity=self.pair_capacity, interpret=self.interpret,
+            use_oracle=self.use_oracle)
+        rec.R, rec.t = np.asarray(R), np.asarray(t)
+        rec.exposure_a, rec.exposure_b = float(ea), float(eb)
+        self.median_depth = float(med)
+        return out, int(iters)
+
+    # ------------------------------------------------------------------
+    def is_keyframe(self, cur_idx, last_kf_idx, cur_visibility):
+        """reference slam_frontend.py:198-225."""
+        cur = self.frames[cur_idx]
+        last = self.frames[last_kf_idx]
+        pose_CW = np.eye(4); pose_CW[:3, :3] = cur.R; pose_CW[:3, 3] = cur.t
+        last_CW = np.eye(4); last_CW[:3, :3] = last.R; last_CW[:3, 3] = last.t
+        last_WC = np.linalg.inv(last_CW)
+        dist = np.linalg.norm((pose_CW @ last_WC)[:3, 3])
+        dist_check = dist > self.kf_translation * self.median_depth
+        dist_check2 = dist > self.kf_min_translation * self.median_depth
+
+        occ = self.occ_aware_visibility[last_kf_idx]
+        union = np.count_nonzero(cur_visibility | occ)
+        intersection = np.count_nonzero(cur_visibility & occ)
+        point_ratio = intersection / max(union, 1)
+        return (point_ratio < self.kf_overlap and dist_check2) or dist_check
+
+    def add_to_window(self, cur_idx, cur_visibility, window):
+        """reference slam_frontend.py:227-286."""
+        N_dont_touch = 2
+        window = [cur_idx] + window
+        removed_frame = None
+        to_remove = []
+        for i in range(N_dont_touch, len(window)):
+            kf_idx = window[i]
+            occ = self.occ_aware_visibility[kf_idx]
+            intersection = np.count_nonzero(cur_visibility & occ)
+            denom = max(min(np.count_nonzero(cur_visibility),
+                            np.count_nonzero(occ)), 1)
+            ratio = intersection / denom
+            cut_off = self.kf_cutoff if self.initialized else 0.4
+            if ratio <= cut_off:
+                to_remove.append(kf_idx)
+        if to_remove:
+            window.remove(to_remove[-1])
+            removed_frame = to_remove[-1]
+
+        def cw(uid):
+            r = self.frames[uid]
+            T = np.eye(4); T[:3, :3] = r.R; T[:3, 3] = r.t
+            return T
+
+        kf_0_WC = np.linalg.inv(cw(cur_idx))
+        if len(window) > self.window_size:
+            inv_dist = []
+            for i in range(N_dont_touch, len(window)):
+                inv_dists = []
+                kf_i_CW = cw(window[i])
+                for j in range(N_dont_touch, len(window)):
+                    if i == j:
+                        continue
+                    kf_j_WC = np.linalg.inv(cw(window[j]))
+                    T_CiCj = kf_i_CW @ kf_j_WC
+                    inv_dists.append(
+                        1.0 / (np.linalg.norm(T_CiCj[:3, 3]) + 1e-6))
+                T_CiC0 = kf_i_CW @ kf_0_WC
+                k = float(np.sqrt(np.linalg.norm(T_CiC0[:3, 3])))
+                inv_dist.append(k * sum(inv_dists))
+            idx = int(np.argmax(inv_dist))
+            removed_frame = window[N_dont_touch + idx]
+            window.remove(removed_frame)
+        return window, removed_frame
+
+    # ------------------------------------------------------------------
+    # backend messaging: direct calls in single-thread mode; the threaded
+    # pipeline (parallel.pipeline) sets self.link and routes the same
+    # message grammar (["init"|"keyframe"], reference
+    # slam_frontend.py:288-300) through queues.
+    def backend_request_init(self, idx, rec, depth_map):
+        if self.link is not None:
+            self.link.send(["init", idx, rec, depth_map])
+            self.link.wait_init(self)
+            return
+        self.backend.reset_state()
+        self.backend.add_next_kf(
+            idx, rec.R, rec.t, rec.exposure_a, rec.exposure_b,
+            rec.gt_image, rec.gt_depth, depth_map, init=True)
+        self.backend.initialize_map(idx)
+        self.backend.current_window = [idx]
+        self.sync_backend()
+
+    def backend_request_keyframe(self, idx, rec, window, depth_map):
+        if self.link is not None:
+            self.requested_keyframe += 1
+            self.link.send(["keyframe", idx, rec, list(window), depth_map])
+            return
+        self.backend.add_next_kf(
+            idx, rec.R, rec.t, rec.exposure_a, rec.exposure_b,
+            rec.gt_image, rec.gt_depth, depth_map)
+        self.backend.handle_keyframe(idx, window)
+        self.sync_backend()
+
+    def sync_backend(self, payload=None):
+        """Adopt backend's map + visibility + KF poses
+        (reference slam_frontend.py:302-309)."""
+        if payload is None:
+            payload = (self.backend.gm,
+                       dict(self.backend.occ_aware_visibility),
+                       self.backend.keyframe_poses())
+        gm, occ, kf_poses = payload
+        self.gm = gm
+        self.occ_aware_visibility = dict(occ)
+        for uid, R, t in kf_poses:
+            if uid in self.frames:
+                self.frames[uid].R = R
+                self.frames[uid].t = t
+
+    def cleanup(self, idx):
+        self.frames[idx].clean()
+
+    # ------------------------------------------------------------------
+    def process_frame(self, idx: int):
+        """One step of the reference run() loop (slam_frontend.py:332-480),
+        single-thread semantics. Returns dict with step info."""
+        if self.link is not None:
+            self.link.drain(self)
+
+        rec = self.load_frame(idx)
+        if self.reset:
+            self.initialize(idx, rec)
+            self.current_window = [idx]
+            return dict(keyframe=True, init=True, iters=0)
+
+        self.initialized = self.initialized or (
+            len(self.current_window) == self.window_size)
+
+        out, iters = self.track(idx, rec)
+
+        if self.requested_keyframe > 0:
+            # a keyframe is still being mapped; don't create another
+            # (reference slam_frontend.py:407-410)
+            self.cleanup(idx)
+            return dict(keyframe=False, iters=iters)
+
+        last_kf = self.current_window[0]
+        check_time = (idx - last_kf) >= self.kf_interval
+        curr_vis = np.asarray(out.n_touched) > 0
+        create_kf = self.is_keyframe(idx, last_kf, curr_vis)
+        if len(self.current_window) < self.window_size:
+            occ = self.occ_aware_visibility[last_kf]
+            union = np.count_nonzero(curr_vis | occ)
+            intersection = np.count_nonzero(curr_vis & occ)
+            point_ratio = intersection / max(union, 1)
+            create_kf = check_time and point_ratio < self.kf_overlap
+        if self.single_thread:
+            create_kf = check_time and create_kf
+
+        if create_kf:
+            self.current_window, removed = self.add_to_window(
+                idx, curr_vis, self.current_window)
+            if self.monocular and not self.initialized and removed is not None:
+                self.reset = True
+                Log("Keyframes lack sufficient overlap, resetting",
+                    tag="Frontend")
+                return dict(keyframe=False, reset=True, iters=iters)
+            depth_map = self.add_new_keyframe(
+                idx, depth=out.depth, opacity=out.opacity)
+            self.backend_request_keyframe(
+                idx, rec, self.current_window, depth_map)
+        else:
+            self.cleanup(idx)
+        return dict(keyframe=create_kf, iters=iters)

@@ -1,0 +1,318 @@
+"""Keyframe-window map optimization (the backend's hot loop), on-device.
+
+Rebuild of reference utils/slam_backend.py:142-318 (BackEnd.map) and
+320-353 (color_refinement):
+
+- render every window keyframe + up to 2 random past keyframes,
+- summed mapping loss (+ 10 * isotropic scale regularizer,
+  slam_backend.py:229-231),
+- one Adam step on the Gaussian parameters (per-group torch lrs),
+- one Adam step + se(3) retraction on window keyframe poses/exposures
+  (lr x 0.5 for the first ``pose_window`` frames, never frame 0 —
+  slam_backend.py:419-471, 313-317),
+- densification statistics from per-frame screen-space mean gradients.
+
+TPU-first: keyframe images/poses live in a fixed-capacity device-resident
+KFStore; the window is a vector of slot indices gathered *inside* the
+jitted step (no host->device image traffic per iteration). The reference
+instead ships CUDA tensors through mp.Queues and re-renders from python.
+
+densify/prune itself is ops in models.gaussian_map, called by the backend
+driver at the reference's schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Camera, PoseState
+from ..models.gaussian_map import (AdamState, GaussianMap, PARAM_FIELDS,
+                                   adam_update)
+from ..ops import losses
+from ..ops.lie import se3_exp
+from .render_api import render
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KFStore:
+    """Fixed-capacity device-resident keyframe store."""
+
+    R: jnp.ndarray          # (M, 3, 3)
+    t: jnp.ndarray          # (M, 3)
+    exposure_a: jnp.ndarray # (M,)
+    exposure_b: jnp.ndarray # (M,)
+    gt_image: jnp.ndarray   # (M, 3, H, W)
+    gt_depth: jnp.ndarray   # (M, 1, H, W)
+    valid: jnp.ndarray      # (M,) bool
+    uid: jnp.ndarray        # (M,) int32
+
+    @staticmethod
+    def empty(capacity: int, height: int, width: int) -> "KFStore":
+        return KFStore(
+            R=jnp.tile(jnp.eye(3)[None], (capacity, 1, 1)),
+            t=jnp.zeros((capacity, 3)),
+            exposure_a=jnp.zeros((capacity,)),
+            exposure_b=jnp.zeros((capacity,)),
+            gt_image=jnp.zeros((capacity, 3, height, width)),
+            gt_depth=jnp.zeros((capacity, 1, height, width)),
+            valid=jnp.zeros((capacity,), bool),
+            uid=jnp.full((capacity,), -1, jnp.int32),
+        )
+
+    def add(self, slot: int, R, t, exposure_a, exposure_b, gt_image,
+            gt_depth, uid: int) -> "KFStore":
+        return dataclasses.replace(
+            self,
+            R=self.R.at[slot].set(R),
+            t=self.t.at[slot].set(t),
+            exposure_a=self.exposure_a.at[slot].set(exposure_a),
+            exposure_b=self.exposure_b.at[slot].set(exposure_b),
+            gt_image=self.gt_image.at[slot].set(gt_image),
+            gt_depth=self.gt_depth.at[slot].set(gt_depth),
+            valid=self.valid.at[slot].set(True),
+            uid=self.uid.at[slot].set(uid),
+        )
+
+
+class PoseAdamState(NamedTuple):
+    m: jnp.ndarray  # (F, 8)
+    v: jnp.ndarray  # (F, 8)
+    step: jnp.ndarray  # () int32
+
+    @staticmethod
+    def zero(F: int) -> "PoseAdamState":
+        return PoseAdamState(jnp.zeros((F, 8)), jnp.zeros((F, 8)),
+                             jnp.zeros((), jnp.int32))
+
+
+class MapStepOut(NamedTuple):
+    gm: GaussianMap
+    gm_adam: AdamState
+    store: KFStore
+    pose_adam: PoseAdamState
+    loss: jnp.ndarray
+    n_touched: jnp.ndarray   # (F, C) int32 (window slots only meaningful)
+    radii: jnp.ndarray       # (F, C) f32
+
+
+def _mapping_iter(
+    gm, gm_adam, store, pose_adam,
+    window_idx, window_valid, optimize_pose, optimize_exposure,
+    cam_template, bg, gm_lrs, xyz_lr,
+    lr_rot, lr_trans, rgb_boundary_threshold, n_window,
+    alpha, monocular, initialization, pair_capacity, interpret, use_oracle,
+):
+    """One map-optimization iteration (the body of BackEnd.map's loop,
+    slam_backend.py:156-317)."""
+    F = window_idx.shape[0]
+    C = gm.capacity
+
+    exp_a_w = store.exposure_a[window_idx]
+    exp_b_w = store.exposure_b[window_idx]
+
+    def loss_fn(params, taus, exp_a, exp_b, mean2d_offsets):
+        gm_p = gm.replace(**params)
+
+        def frame_loss(carry, xs):
+            (idx, ta, ea, eb, vf, m2o) = xs
+            Rf = store.R[idx]
+            tf = store.t[idx]
+            gt_i = store.gt_image[idx]
+            gt_d = store.gt_depth[idx]
+            cam = cam_template.replace(R=Rf, t=tf)
+            pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
+            out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
+                         pair_capacity=pair_capacity, interpret=interpret,
+                         use_oracle=use_oracle)
+            if initialization:
+                image_ab = out.color
+            else:
+                image_ab = losses.apply_exposure(out.color, ea, eb)
+            if monocular:
+                L = losses.loss_mapping_rgb(
+                    image_ab, gt_i, rgb_boundary_threshold)
+            else:
+                L = losses.loss_mapping_rgbd(
+                    image_ab, out.depth, gt_i, gt_d,
+                    rgb_boundary_threshold, alpha)
+            L = jnp.where(vf, L, 0.0)
+            return carry + L, (out.n_touched, out.radii)
+
+        total, (nt, radii) = jax.lax.scan(
+            frame_loss, jnp.zeros(()),
+            (window_idx, taus, exp_a, exp_b, window_valid, mean2d_offsets))
+        total = total + 10.0 * losses.isotropic_loss(
+            params["scaling"], gm_p.active)
+        return total, (nt, radii)
+
+    params = {f: getattr(gm, f) for f in PARAM_FIELDS}
+    taus0 = jnp.zeros((F, 6))
+    offsets0 = jnp.zeros((F, C, 2))
+    (loss_val, (nt, radii)), (g_params, g_tau, g_ea, g_eb, g_off) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            params, taus0, exp_a_w, exp_b_w, offsets0))
+
+    # --- gaussian Adam step (xyz lr follows the log-lerp schedule) ---
+    lrs = dict(gm_lrs)
+    lrs["xyz"] = xyz_lr
+    new_gm, new_gm_adam = adam_update(gm, g_params, gm_adam, lrs)
+
+    # --- densification stats + max radii (per-frame, like the acm lists
+    #     in slam_backend.py:277-284) ---
+    vis = radii > 0
+    gm_out = new_gm
+    scale_vec = jnp.asarray(
+        [0.5 * cam_template.width, 0.5 * cam_template.height], jnp.float32)
+    g_norm = jnp.linalg.norm(g_off * scale_vec, axis=-1)       # (F, C)
+    upd = vis & window_valid[:, None] & gm_out.active[None, :]
+    gm_out = gm_out.replace(
+        xyz_grad_accum=gm_out.xyz_grad_accum
+        + jnp.sum(jnp.where(upd, g_norm, 0.0), axis=0),
+        denom=gm_out.denom + jnp.sum(upd.astype(jnp.float32), axis=0),
+        max_radii2d=jnp.maximum(
+            gm_out.max_radii2d,
+            jnp.max(jnp.where(upd, radii, 0.0), axis=0)),
+    )
+
+    # --- keyframe pose/exposure Adam ---
+    g8 = jnp.concatenate([g_tau, g_ea[:, None], g_eb[:, None]], axis=1)
+    lr8 = jnp.concatenate([
+        jnp.where(optimize_pose[:, None],
+                  jnp.concatenate([jnp.full((F, 3), lr_trans),
+                                   jnp.full((F, 3), lr_rot)], axis=1), 0.0),
+        jnp.where(optimize_exposure[:, None],
+                  jnp.full((F, 2), 0.01), 0.0)], axis=1)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = pose_adam.step + 1
+    tt = step.astype(jnp.float32)
+    m = b1 * pose_adam.m + (1 - b1) * g8
+    v = b2 * pose_adam.v + (1 - b2) * g8 * g8
+    updv = lr8 * (m / (1 - b1 ** tt)) / (jnp.sqrt(v / (1 - b2 ** tt)) + eps)
+    new_pose_adam = PoseAdamState(m=m, v=v, step=step)
+
+    new_tau = -updv[:, :6]
+    new_ea = exp_a_w - updv[:, 6]
+    new_eb = exp_b_w - updv[:, 7]
+
+    def retract(idx, tauf, do):
+        Rf = store.R[idx]
+        tf = store.t[idx]
+        T = jnp.eye(4).at[:3, :3].set(Rf).at[:3, 3].set(tf)
+        nT = se3_exp(tauf) @ T
+        return (jnp.where(do, nT[:3, :3], Rf), jnp.where(do, nT[:3, 3], tf))
+
+    newR, newt = jax.vmap(retract)(window_idx, new_tau, optimize_pose)
+
+    # write back the window slots (first n_window entries)
+    wsl = window_idx[:n_window]
+    new_store = dataclasses.replace(
+        store,
+        R=store.R.at[wsl].set(newR[:n_window]),
+        t=store.t.at[wsl].set(newt[:n_window]),
+        exposure_a=store.exposure_a.at[wsl].set(new_ea[:n_window]),
+        exposure_b=store.exposure_b.at[wsl].set(new_eb[:n_window]),
+    )
+
+    return MapStepOut(gm=gm_out, gm_adam=new_gm_adam, store=new_store,
+                      pose_adam=new_pose_adam, loss=loss_val,
+                      n_touched=nt, radii=radii)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("monocular", "initialization",
+                     "n_window", "pair_capacity", "interpret",
+                     "use_oracle"))
+def mapping_steps(
+    gm: GaussianMap,
+    gm_adam: AdamState,
+    store: KFStore,
+    window_idx: jnp.ndarray,       # (T, F) int32 slots per iteration
+                                   # (window fixed, random slots vary)
+    window_valid: jnp.ndarray,     # (F,) bool
+    optimize_pose: jnp.ndarray,    # (F,) bool
+    optimize_exposure: jnp.ndarray,# (F,) bool
+    pose_adam: PoseAdamState,
+    cam_template: Camera,
+    bg: jnp.ndarray,
+    gm_lrs,
+    xyz_lrs: jnp.ndarray,          # (T,) scheduled xyz learning rates
+    lr_rot: float, lr_trans: float,
+    rgb_boundary_threshold: float,
+    n_window: int,
+    alpha: float = 0.95,
+    monocular: bool = False,
+    initialization: bool = False,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+) -> MapStepOut:
+    """T map iterations in ONE device program (lax.scan over
+    _mapping_iter). The torch reference dispatches hundreds of kernels per
+    iteration from python (slam_backend.py:156-317); here the whole
+    `map(iters=N)` call is a single XLA execution."""
+    F = window_idx.shape[1]
+    nt0 = jnp.zeros((F, gm.capacity), jnp.int32)
+    r0 = jnp.zeros((F, gm.capacity), jnp.float32)
+
+    def body(carry, xs):
+        gm_c, adam_c, store_c, pose_c, _, _ = carry
+        idx_row, xyz_lr = xs
+        out = _mapping_iter(
+            gm_c, adam_c, store_c, pose_c,
+            idx_row, window_valid, optimize_pose, optimize_exposure,
+            cam_template, bg, gm_lrs, xyz_lr,
+            lr_rot, lr_trans, rgb_boundary_threshold, n_window,
+            alpha, monocular, initialization, pair_capacity, interpret,
+            use_oracle)
+        return ((out.gm, out.gm_adam, out.store, out.pose_adam,
+                 out.n_touched, out.radii), out.loss)
+
+    (gm_f, adam_f, store_f, pose_f, nt_f, r_f), losses_t = jax.lax.scan(
+        body, (gm, gm_adam, store, pose_adam, nt0, r0),
+        (window_idx, xyz_lrs))
+    return MapStepOut(gm=gm_f, gm_adam=adam_f, store=store_f,
+                      pose_adam=pose_f, loss=losses_t[-1],
+                      n_touched=nt_f, radii=r_f)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pair_capacity", "interpret", "use_oracle"))
+def color_refinement_step(
+    gm: GaussianMap,
+    gm_adam: AdamState,
+    store: KFStore,
+    idx: jnp.ndarray,
+    cam_template: Camera,
+    bg: jnp.ndarray,
+    gm_lrs,
+    lambda_dssim: float = 0.2,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+):
+    """One color-refinement iteration on keyframe slot ``idx``
+    (reference slam_backend.py:320-353): (1-l)*L1 + l*(1-SSIM)."""
+
+    def loss_fn(params):
+        gm_p = gm.replace(**params)
+        cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
+        out = render(gm_p, cam, None, bg, pair_capacity=pair_capacity,
+                     interpret=interpret, use_oracle=use_oracle)
+        L1 = losses.l1_loss(out.color, store.gt_image[idx])
+        return ((1.0 - lambda_dssim) * L1
+                + lambda_dssim * (1.0 - losses.ssim(
+                    out.color, store.gt_image[idx])))
+
+    params = {f: getattr(gm, f) for f in PARAM_FIELDS}
+    loss_val, g = jax.value_and_grad(loss_fn)(params)
+    new_gm, new_adam = adam_update(gm, g, gm_adam, gm_lrs)
+    return new_gm, new_adam, loss_val

@@ -1,0 +1,55 @@
+"""render(): the L2 API over the tiled renderer.
+
+Mirror of reference gaussian_splatting/gaussian_renderer/__init__.py:24-164:
+takes the map + a viewpoint (+ pose delta), returns the render dict. The
+``viewspace_points`` gradient trick becomes an explicit ``mean2d_offset``
+zero input — grad w.r.t. it is the screen-space mean gradient used for
+densification stats.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import Camera, PoseState
+from ..models.gaussian_map import GaussianMap
+from ..ops import renderer_ref, renderer_tiled
+from ..ops.renderer_ref import RenderOutput
+
+
+def render(
+    gm: GaussianMap,
+    cam: Camera,
+    pose: Optional[PoseState] = None,
+    bg: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    use_oracle: bool = False,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+) -> RenderOutput:
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    tau = pose.tau if pose is not None else jnp.zeros((6,), jnp.float32)
+    kwargs = dict(
+        means3d=gm.xyz,
+        cov6=gm.get_cov6(scaling_modifier),
+        opacities=gm.get_opacity(),
+        shs=gm.get_features(),
+        sh_degree=gm.active_sh_degree,
+        w2c=cam.w2c(),
+        proj=cam.projection(),
+        tau=tau,
+        fx=cam.fx, fy=cam.fy, width=cam.width, height=cam.height,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        bg=bg,
+        active=gm.active,
+        mean2d_offset=mean2d_offset,
+    )
+    if use_oracle:
+        return renderer_ref.render(**kwargs)
+    return renderer_tiled.render(
+        **kwargs, pair_capacity=pair_capacity, interpret=interpret)

@@ -1,0 +1,142 @@
+"""Per-frame pose tracking: the SLAM hot loop, fully on-device.
+
+Rebuild of reference utils/slam_frontend.py:128-196 (FrontEnd.tracking):
+Adam over (cam_rot_delta, cam_trans_delta, exposure_a, exposure_b), up to
+``tracking_itr_num`` iterations of render + masked tracking loss + backward
++ pose retraction, with convergence when ||tau|| < 1e-4.
+
+TPU-first: the whole iteration loop is a single jitted lax.while_loop —
+no host round-trips between iterations (the torch reference launches
+dozens of kernels + a python loop per iteration). The pose delta tau is
+zero at every render; Adam turns its gradient into an update which is
+immediately retracted onto (R, t), exactly like
+update_pose (utils/pose_utils.py:76-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import Camera, PoseState
+from ..models.gaussian_map import GaussianMap
+from ..ops import losses
+from ..ops.lie import se3_exp
+from .render_api import render
+
+
+class TrackAdamState(NamedTuple):
+    m: jnp.ndarray        # (8,) moments for [tau(6), exp_a, exp_b]
+    v: jnp.ndarray        # (8,)
+    step: jnp.ndarray     # () int32
+
+
+class TrackState(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    exposure_a: jnp.ndarray
+    exposure_b: jnp.ndarray
+    adam: TrackAdamState
+    itr: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _adam8(adam: TrackAdamState, g: jnp.ndarray, lrs: jnp.ndarray,
+           b1=0.9, b2=0.999, eps=1e-8) -> Tuple[jnp.ndarray, TrackAdamState]:
+    """torch.optim.Adam default-eps step on the 8 tracking params."""
+    step = adam.step + 1
+    t = step.astype(jnp.float32)
+    m = b1 * adam.m + (1 - b1) * g
+    v = b2 * adam.v + (1 - b2) * g * g
+    upd = lrs * (m / (1 - b1 ** t)) / (jnp.sqrt(v / (1 - b2 ** t)) + eps)
+    return upd, TrackAdamState(m=m, v=v, step=step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("monocular", "max_iters",
+                     "pair_capacity", "interpret", "use_oracle"))
+def track_frame(
+    gm: GaussianMap,
+    cam_template: Camera,          # static geometry (fx..H); R/t in state
+    R0: jnp.ndarray, t0: jnp.ndarray,
+    gt_image: jnp.ndarray,         # (3, H, W)
+    gt_depth: jnp.ndarray,         # (1, H, W) (zeros if monocular)
+    grad_mask: jnp.ndarray,        # (1, H, W)
+    bg: jnp.ndarray,
+    lr_rot: float, lr_trans: float,
+    rgb_boundary_threshold: float,
+    alpha: float = 0.95,
+    monocular: bool = False,
+    max_iters: int = 100,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+):
+    """Full tracking optimization for one frame.
+
+    Returns (R, t, exposure_a, exposure_b, n_iters, final RenderOutput).
+    """
+    lrs = jnp.concatenate([
+        jnp.full((3,), lr_trans), jnp.full((3,), lr_rot),
+        jnp.full((2,), 0.01)]).astype(jnp.float32)
+
+    def loss_fn(tau, exp_a, exp_b, R, t):
+        cam = cam_template.replace(R=R, t=t)
+        pose = PoseState(tau=tau, exposure_a=exp_a, exposure_b=exp_b)
+        out = render(gm, cam, pose, bg, pair_capacity=pair_capacity,
+                     interpret=interpret, use_oracle=use_oracle)
+        image_ab = losses.apply_exposure(out.color, exp_a, exp_b)
+        if monocular:
+            L = losses.loss_tracking_rgb(
+                image_ab, gt_image, out.opacity, grad_mask,
+                rgb_boundary_threshold)
+        else:
+            L = losses.loss_tracking_rgbd(
+                image_ab, out.depth, gt_image, gt_depth, out.opacity,
+                grad_mask, rgb_boundary_threshold, alpha)
+        return L
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2))
+
+    def body(s: TrackState) -> TrackState:
+        tau0 = jnp.zeros((6,), jnp.float32)
+        g_tau, g_a, g_b = grad_fn(tau0, s.exposure_a, s.exposure_b, s.R, s.t)
+        g = jnp.concatenate([g_tau, g_a[None], g_b[None]])
+        upd, adam = _adam8(s.adam, g, lrs)
+        # optimizer.step(): params -= upd; tau starts at 0 so new tau = -upd
+        new_tau = -upd[:6]
+        new_a = s.exposure_a - upd[6]
+        new_b = s.exposure_b - upd[7]
+        # update_pose: T <- Exp([trans, rot]) @ T; converged if small
+        T = jnp.eye(4).at[:3, :3].set(s.R).at[:3, 3].set(s.t)
+        newT = se3_exp(new_tau) @ T
+        converged = jnp.linalg.norm(new_tau) < 1e-4
+        return TrackState(R=newT[:3, :3], t=newT[:3, 3], exposure_a=new_a,
+                          exposure_b=new_b, adam=adam, itr=s.itr + 1,
+                          converged=converged)
+
+    def cond(s: TrackState):
+        return (s.itr < max_iters) & ~s.converged
+
+    init = TrackState(
+        R=R0, t=t0,
+        exposure_a=jnp.zeros(()), exposure_b=jnp.zeros(()),
+        adam=TrackAdamState(m=jnp.zeros(8), v=jnp.zeros(8),
+                            step=jnp.zeros((), jnp.int32)),
+        itr=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool))
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # final render at the converged pose (for keyframing / visibility)
+    cam = cam_template.replace(R=final.R, t=final.t)
+    out = render(gm, cam, None, bg, pair_capacity=pair_capacity,
+                 interpret=interpret, use_oracle=use_oracle)
+    med = losses.median_depth(out.depth, out.opacity)
+    return (final.R, final.t, final.exposure_a, final.exposure_b,
+            final.itr, out, med)

@@ -1,0 +1,363 @@
+"""Dataset ingestion: Replica / TUM / EuRoC (+ synthetic for tests).
+
+Host-side rebuild of reference utils/dataset.py:19-532. Returns numpy
+arrays; frames are uploaded to device by the SLAM loops. cv2 is used for
+undistortion / SGBM exactly like the reference; it is gated so the module
+imports without it.
+
+__getitem__ -> (image (3,H,W) float32 in [0,1], depth (H,W) float32 or
+None, w2c pose (4,4) float64) — same contract as the reference
+(dataset.py:257-278) but w2c stays on host.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from ..ops.camera_math import focal2fov
+
+
+def _quat_matrix_wxyz(q):
+    """4x4 homogeneous rotation from (w, x, y, z) quaternion (replaces
+    trimesh.transformations.quaternion_matrix)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    T = np.eye(4)
+    T[:3, :3] = R
+    return T
+
+
+class ReplicaParser:
+    """reference dataset.py:19-45."""
+
+    def __init__(self, input_folder):
+        self.input_folder = input_folder
+        self.color_paths = sorted(
+            glob.glob(f"{input_folder}/results/frame*.jpg"))
+        self.depth_paths = sorted(
+            glob.glob(f"{input_folder}/results/depth*.png"))
+        self.n_img = len(self.color_paths)
+        self.poses = []
+        with open(f"{input_folder}/traj.txt") as f:
+            lines = f.readlines()
+        for i in range(self.n_img):
+            pose = np.array(list(map(float, lines[i].split()))).reshape(4, 4)
+            self.poses.append(np.linalg.inv(pose))  # c2w -> w2c
+
+
+class TUMParser:
+    """reference dataset.py:48-122 (0.08 s association, 32 Hz downsample)."""
+
+    def __init__(self, input_folder, frame_rate=32):
+        self.input_folder = input_folder
+        self._load(input_folder, frame_rate)
+        self.n_img = len(self.color_paths)
+
+    @staticmethod
+    def _parse_list(filepath, skiprows=0):
+        return np.loadtxt(filepath, delimiter=" ", dtype=np.str_,
+                          skiprows=skiprows)
+
+    @staticmethod
+    def _associate(t_img, t_depth, t_pose, max_dt=0.08):
+        assoc = []
+        for i, t in enumerate(t_img):
+            j = np.argmin(np.abs(t_depth - t))
+            k = np.argmin(np.abs(t_pose - t))
+            if (np.abs(t_depth[j] - t) < max_dt
+                    and np.abs(t_pose[k] - t) < max_dt):
+                assoc.append((i, j, k))
+        return assoc
+
+    def _load(self, datapath, frame_rate):
+        if os.path.isfile(os.path.join(datapath, "groundtruth.txt")):
+            pose_list = os.path.join(datapath, "groundtruth.txt")
+        else:
+            pose_list = os.path.join(datapath, "pose.txt")
+        image_data = self._parse_list(os.path.join(datapath, "rgb.txt"))
+        depth_data = self._parse_list(os.path.join(datapath, "depth.txt"))
+        pose_data = self._parse_list(pose_list, skiprows=1)
+        pose_vecs = pose_data[:, 0:].astype(np.float64)
+
+        t_img = image_data[:, 0].astype(np.float64)
+        t_depth = depth_data[:, 0].astype(np.float64)
+        t_pose = pose_data[:, 0].astype(np.float64)
+        assoc = self._associate(t_img, t_depth, t_pose)
+
+        indices = [0]
+        for i in range(1, len(assoc)):
+            t0 = t_img[assoc[indices[-1]][0]]
+            t1 = t_img[assoc[i][0]]
+            if t1 - t0 > 1.0 / frame_rate:
+                indices.append(i)
+
+        self.color_paths, self.depth_paths, self.poses = [], [], []
+        for ix in indices:
+            i, j, k = assoc[ix]
+            self.color_paths.append(os.path.join(datapath, image_data[i, 1]))
+            self.depth_paths.append(os.path.join(datapath, depth_data[j, 1]))
+            quat_xyzw = pose_vecs[k][4:]
+            trans = pose_vecs[k][1:4]
+            T = _quat_matrix_wxyz(np.roll(quat_xyzw, 1))
+            T[:3, 3] = trans
+            self.poses.append(np.linalg.inv(T))
+
+
+class EuRoCParser:
+    """reference dataset.py:125-190 (cam0 extrinsic chain)."""
+
+    T_i_c0 = np.array([
+        [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+        [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+        [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+
+    def __init__(self, input_folder, start_idx=0):
+        self.input_folder = input_folder
+        self.color_paths = sorted(
+            glob.glob(f"{input_folder}/mav0/cam0/data/*.png"))[start_idx:]
+        self.color_paths_r = sorted(
+            glob.glob(f"{input_folder}/mav0/cam1/data/*.png"))[start_idx:]
+        self.n_img = len(self.color_paths)
+        self._load_poses(
+            f"{input_folder}/mav0/state_groundtruth_estimate0/data.csv")
+
+    def _load_poses(self, path):
+        with open(path) as f:
+            reader = csv.reader(f)
+            next(reader)
+            data = np.array([list(map(float, row)) for row in reader])
+        pose_ts = data[:, 0]
+        self.poses = []
+        for i in range(self.n_img):
+            color_ts = float(
+                os.path.basename(self.color_paths[i]).split(".")[0])
+            k = np.argmin(np.abs(pose_ts - color_ts))
+            trans = data[k, 1:4]
+            quat_wxyz = data[k, 4:8]
+            # (reference shuffles wxyz->xyzw->roll back; net effect: wxyz)
+            T_w_i = _quat_matrix_wxyz(quat_wxyz)
+            T_w_i[:3, 3] = trans
+            T_w_c = T_w_i @ self.T_i_c0
+            self.poses.append(np.linalg.inv(T_w_c))
+
+
+class BaseDataset:
+    def __init__(self, config: dict):
+        self.config = config
+        self.num_imgs = 999999
+
+    def __len__(self):
+        return self.num_imgs
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+
+class MonocularDataset(BaseDataset):
+    """reference dataset.py:209-278."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        calib = config["Dataset"]["Calibration"]
+        self.fx = calib["fx"]
+        self.fy = calib["fy"]
+        self.cx = calib["cx"]
+        self.cy = calib["cy"]
+        self.width = calib["width"]
+        self.height = calib["height"]
+        self.fovx = focal2fov(self.fx, self.width)
+        self.fovy = focal2fov(self.fy, self.height)
+        self.K = np.array([[self.fx, 0, self.cx], [0, self.fy, self.cy],
+                           [0, 0, 1.0]])
+        self.disorted = calib.get("distorted", False)
+        if self.disorted:
+            assert cv2 is not None, "cv2 required for undistortion"
+            self.dist_coeffs = np.array(
+                [calib["k1"], calib["k2"], calib["p1"], calib["p2"],
+                 calib["k3"]])
+            self.map1x, self.map1y = cv2.initUndistortRectifyMap(
+                self.K, self.dist_coeffs, np.eye(3), self.K,
+                (self.width, self.height), cv2.CV_32FC1)
+        self.has_depth = "depth_scale" in calib
+        self.depth_scale = calib.get("depth_scale")
+        self.color_paths = []
+        self.depth_paths = []
+        self.poses = []
+
+    def __getitem__(self, idx):
+        image = np.array(Image.open(self.color_paths[idx]))
+        depth = None
+        if self.disorted:
+            image = cv2.remap(image, self.map1x, self.map1y, cv2.INTER_LINEAR)
+        if self.has_depth:
+            depth = (np.array(Image.open(self.depth_paths[idx]))
+                     / self.depth_scale).astype(np.float32)
+        image = np.clip(image / 255.0, 0.0, 1.0).astype(np.float32)
+        image = image.transpose(2, 0, 1)
+        return image, depth, self.poses[idx]
+
+
+class StereoDataset(BaseDataset):
+    """reference dataset.py:281-393 (rectify + SGBM depth)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        assert cv2 is not None, "cv2 required for stereo"
+        calib = config["Dataset"]["Calibration"]
+        self.width = calib["width"]
+        self.height = calib["height"]
+        cam0raw, cam0opt = calib["cam0"]["raw"], calib["cam0"]["opt"]
+        cam1raw, cam1opt = calib["cam1"]["raw"], calib["cam1"]["opt"]
+        self.fx, self.fy = cam0opt["fx"], cam0opt["fy"]
+        self.cx, self.cy = cam0opt["cx"], cam0opt["cy"]
+        self.fovx = focal2fov(self.fx, self.width)
+        self.fovy = focal2fov(self.fy, self.height)
+        self.K = np.array([[self.fx, 0, self.cx], [0, self.fy, self.cy],
+                           [0, 0, 1.0]])
+        K_raw = np.array([[cam0raw["fx"], 0, cam0raw["cx"]],
+                          [0, cam0raw["fy"], cam0raw["cy"]], [0, 0, 1.0]])
+        K_raw_r = np.array([[cam1raw["fx"], 0, cam1raw["cx"]],
+                            [0, cam1raw["fy"], cam1raw["cy"]], [0, 0, 1.0]])
+        K_r = np.array([[cam1opt["fx"], 0, cam1opt["cx"]],
+                        [0, cam1opt["fy"], cam1opt["cy"]], [0, 0, 1.0]])
+        Rmat = np.array(calib["cam0"]["R"]["data"]).reshape(3, 3)
+        Rmat_r = np.array(calib["cam1"]["R"]["data"]).reshape(3, 3)
+        d0 = np.array([cam0raw["k1"], cam0raw["k2"], cam0raw["p1"],
+                       cam0raw["p2"], cam0raw["k3"]])
+        d1 = np.array([cam1raw["k1"], cam1raw["k2"], cam1raw["p1"],
+                       cam1raw["p2"], cam1raw["k3"]])
+        self.map1x, self.map1y = cv2.initUndistortRectifyMap(
+            K_raw, d0, Rmat, self.K, (self.width, self.height), cv2.CV_32FC1)
+        self.map1x_r, self.map1y_r = cv2.initUndistortRectifyMap(
+            K_raw_r, d1, Rmat_r, K_r, (self.width, self.height),
+            cv2.CV_32FC1)
+        self.has_depth = True
+        self.color_paths = []
+        self.color_paths_r = []
+        self.poses = []
+
+    def __getitem__(self, idx):
+        image = cv2.imread(self.color_paths[idx], 0)
+        image_r = cv2.imread(self.color_paths_r[idx], 0)
+        image = cv2.remap(image, self.map1x, self.map1y, cv2.INTER_LINEAR)
+        image_r = cv2.remap(image_r, self.map1x_r, self.map1y_r,
+                            cv2.INTER_LINEAR)
+        stereo = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=64, blockSize=20)
+        stereo.setUniquenessRatio(40)
+        disparity = stereo.compute(image, image_r) / 16.0
+        disparity[disparity == 0] = 1e10
+        depth = 47.90639384423901 / disparity   # baseline * fx (ORB-SLAM2)
+        depth[depth < 0] = 0
+        image = cv2.cvtColor(image, cv2.COLOR_GRAY2RGB)
+        image = np.clip(image / 255.0, 0, 1).astype(np.float32)
+        return image.transpose(2, 0, 1), depth.astype(np.float32), \
+            self.poses[idx]
+
+
+class TUMDataset(MonocularDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        parser = TUMParser(config["Dataset"]["dataset_path"])
+        self.num_imgs = parser.n_img
+        self.color_paths = parser.color_paths
+        self.depth_paths = parser.depth_paths
+        self.poses = parser.poses
+
+
+class ReplicaDataset(MonocularDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        parser = ReplicaParser(config["Dataset"]["dataset_path"])
+        self.num_imgs = parser.n_img
+        self.color_paths = parser.color_paths
+        self.depth_paths = parser.depth_paths
+        self.poses = parser.poses
+
+
+class EurocDataset(StereoDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        parser = EuRoCParser(config["Dataset"]["dataset_path"],
+                             start_idx=config["Dataset"].get("start_idx", 0))
+        self.num_imgs = parser.n_img
+        self.color_paths = parser.color_paths
+        self.color_paths_r = parser.color_paths_r
+        self.poses = parser.poses
+
+
+class SyntheticDataset(MonocularDataset):
+    """Procedural RGB-D dataset for tests/benchmarks: a room-like box of
+    colored Gaussquads rendered... no — simple analytic scene rasterized on
+    host with a z-buffer of random textured planes. Deterministic."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.num_imgs = config["Dataset"].get("n_frames", 20)
+        seed = config["Dataset"].get("seed", 0)
+        rng = np.random.default_rng(seed)
+        # random textured "wall" at z ~ 2.5 with sinusoid texture
+        self.freqs = rng.uniform(0.5, 3.0, size=(3, 2))
+        self.phases = rng.uniform(0, 2 * np.pi, size=3)
+        self.poses = []
+        for i in range(self.num_imgs):
+            t = i / max(self.num_imgs - 1, 1)
+            w2c = np.eye(4)
+            w2c[0, 3] = 0.2 * np.sin(2 * np.pi * t)
+            w2c[1, 3] = 0.1 * np.cos(2 * np.pi * t)
+            w2c[2, 3] = 0.1 * t
+            self.poses.append(w2c)
+        self.has_depth = True
+
+    def __getitem__(self, idx):
+        w2c = self.poses[idx]
+        c2w = np.linalg.inv(w2c)
+        H, W = self.height, self.width
+        ys, xs = np.mgrid[0:H, 0:W]
+        # rays in cam frame through pixel centers (pinhole)
+        dx = (xs + 0.5 - self.cx) / self.fx
+        dy = (ys + 0.5 - self.cy) / self.fy
+        dirs_cam = np.stack([dx, dy, np.ones_like(dx)], -1)
+        dirs_w = dirs_cam @ c2w[:3, :3].T
+        org_w = c2w[:3, 3]
+        # plane z_w = 3.0
+        tt = (3.0 - org_w[2]) / np.maximum(dirs_w[..., 2], 1e-6)
+        pts = org_w + tt[..., None] * dirs_w
+        img = np.stack([
+            0.5 + 0.45 * np.sin(self.freqs[c, 0] * pts[..., 0] * 4
+                                + self.freqs[c, 1] * pts[..., 1] * 4
+                                + self.phases[c])
+            for c in range(3)], axis=0).astype(np.float32)
+        depth_cam = (pts - c2w[:3, 3]) @ w2c[:3, :3].T  # world->cam rot
+        depth = np.maximum(depth_cam[..., 2], 0).astype(np.float32)
+        return np.clip(img, 0, 1), depth, w2c
+
+
+def load_dataset(config: dict):
+    t = config["Dataset"]["type"]
+    if t == "tum":
+        return TUMDataset(config)
+    if t == "replica":
+        return ReplicaDataset(config)
+    if t == "euroc":
+        return EurocDataset(config)
+    if t == "synthetic":
+        return SyntheticDataset(config)
+    raise ValueError(f"Unknown dataset type {t}")

@@ -1,0 +1,113 @@
+"""Evaluation: ATE RMSE (Umeyama-aligned APE) + rendering metrics.
+
+Rebuild of reference utils/eval_utils.py:25-192. The reference uses the
+``evo`` package; here the APE alignment is implemented directly (Umeyama
+with optional scale for monocular), producing the same RMSE statistic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses
+from ..utils.logging import Log
+
+
+def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool):
+    """Least-squares similarity transform aligning x (3,N) onto y (3,N).
+    Returns (R, t, c). Standard Umeyama 1991 (what evo uses)."""
+    mu_x = x.mean(axis=1, keepdims=True)
+    mu_y = y.mean(axis=1, keepdims=True)
+    var_x = np.mean(np.sum((x - mu_x) ** 2, axis=0))
+    cov = (y - mu_y) @ (x - mu_x).T / x.shape[1]
+    U, d, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    c = np.trace(np.diag(d) @ S) / var_x if with_scale else 1.0
+    t = mu_y - c * R @ mu_x
+    return R, t[:, 0], c
+
+
+def ate_rmse(traj_est: List[np.ndarray], traj_gt: List[np.ndarray],
+             align_scale: bool = False) -> float:
+    """ATE RMSE of estimated vs gt c2w poses (4x4), with SE(3)/Sim(3)
+    alignment (reference evaluate_evo, eval_utils.py:25-65)."""
+    p_est = np.stack([T[:3, 3] for T in traj_est], axis=1)   # (3, N)
+    p_gt = np.stack([T[:3, 3] for T in traj_gt], axis=1)
+    if not np.all(np.isfinite(p_est)):
+        Log("WARNING: non-finite poses in estimated trajectory", tag="Eval")
+        return float("nan")
+    if p_est.shape[1] < 3:
+        # degenerate trajectory: unaligned RMSE
+        err = np.linalg.norm(p_est - p_gt, axis=0)
+        return float(np.sqrt(np.mean(err ** 2)))
+    R, t, c = umeyama_alignment(p_est, p_gt, align_scale)
+    aligned = c * R @ p_est + t[:, None]
+    err = np.linalg.norm(aligned - p_gt, axis=0)
+    return float(np.sqrt(np.mean(err ** 2)))
+
+
+def eval_ate(frames: Dict[int, object], kf_ids: List[int], save_dir=None,
+             iterations: int = 0, final: bool = False,
+             monocular: bool = False, correct_scale=None) -> float:
+    """reference eval_ate (eval_utils.py:68-113): keyframe-trajectory APE."""
+    trj_est, trj_gt = [], []
+
+    def c2w(R, t):
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, t
+        return np.linalg.inv(T)
+
+    for kf_id in kf_ids:
+        rec = frames[kf_id]
+        trj_est.append(c2w(rec.R, rec.t))
+        trj_gt.append(c2w(rec.R_gt, rec.t_gt))
+    if correct_scale is None:
+        correct_scale = monocular
+    ate = ate_rmse(trj_est, trj_gt, align_scale=correct_scale)
+    Log(f"ATE RMSE [m]: {ate:.6f} ({len(kf_ids)} keyframes)", tag="Eval")
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        label = "final" if final else str(iterations)
+        with open(os.path.join(save_dir, f"ate_{label}.json"), "w") as f:
+            json.dump(dict(ate_rmse=ate, n_kf=len(kf_ids)), f)
+    return ate
+
+
+def eval_rendering(frames, kf_ids, dataset, render_fn, save_dir=None,
+                   iteration="final", every_n: int = 5) -> dict:
+    """PSNR/SSIM over every-5th non-keyframe frame (reference
+    eval_rendering, eval_utils.py:116-180; LPIPS omitted — no pretrained
+    weights in a zero-egress environment)."""
+    psnrs, ssims = [], []
+    kf_set = set(kf_ids)
+    end = len(frames) - 1
+    for idx in range(0, end, every_n):
+        if idx in kf_set:
+            continue
+        rec = frames[idx]
+        image, _, _ = dataset[idx]
+        out = render_fn(rec)
+        img = jnp.clip(jnp.asarray(out.color), 0, 1)
+        gt = jnp.asarray(image)
+        psnrs.append(float(losses.psnr(img, gt)))
+        ssims.append(float(losses.ssim(img, gt)))
+    result = dict(
+        mean_psnr=float(np.mean(psnrs)) if psnrs else float("nan"),
+        mean_ssim=float(np.mean(ssims)) if ssims else float("nan"),
+        n_frames=len(psnrs))
+    Log(f"PSNR: {result['mean_psnr']:.3f}  SSIM: {result['mean_ssim']:.4f} "
+        f"({result['n_frames']} frames)", tag="Eval")
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, f"render_{iteration}.json"),
+                  "w") as f:
+            json.dump(result, f)
+    return result
