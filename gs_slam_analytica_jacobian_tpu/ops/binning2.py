@@ -1,0 +1,155 @@
+"""Tile binning v2: TPU-fast pair planning (no searchsorted, no scatter-add).
+
+Rebuild of the reference's duplicate-by-tile + radix-sort + tile-range
+pipeline (cuda_rasterizer/rasterizer_impl.cu:70-138, 327-367), redesigned
+around measured TPU op costs (scripts/profile_micro.py):
+
+- B-scale gathers cost ~8.5 ns/row, searchsorted over a large table costs
+  ~50x that, scatter-ADD is serialized — but sort, cumsum/cummax and
+  scatter-SET run at bandwidth. So:
+    * emission-slot -> gaussian mapping uses scatter-set + cummax instead
+      of searchsorted (the round-1 version spent 258 ms there);
+    * per-pair data is packed into ONE gather;
+    * tile relocation uses a delta-scatter + cumsum + scatter-set instead
+      of a second sort or per-pair searchsorted.
+- The plan is separated from the per-iteration feature gather so tracking
+  can bin once per frame and reuse the plan for every optimization
+  iteration (the CUDA reference re-bins every render because binning is
+  ~free there; on TPU it is not, and the pose moves < a pixel per
+  iteration — ``radius_pad`` inflates rects to keep coverage while the
+  pose drifts within a frame).
+
+The aligned pair layout: each tile's run starts at a multiple of ``chunk``
+so the Pallas kernels DMA full-lane slices that never cross tiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gaussian_math import Preprocessed
+
+FEAT_DIM = 16
+
+
+class PairPlan(NamedTuple):
+    """Static-shape pair plan, reusable across render iterations.
+
+    B_al = capacity + n_tiles * chunk (aligned buffer size).
+    """
+
+    pair_gid1: jnp.ndarray    # (B_al,) int32 gaussian index + 1; 0 = dead
+    ranges: jnp.ndarray       # (n_tiles, 2) int32 [start, end), start%K==0
+    aligned_of_em: jnp.ndarray  # (capacity,) int32 emission -> aligned pos
+                                # (== B_al for dropped slots)
+    seg_start: jnp.ndarray    # (N,) int32 emission segment start per gaussian
+    seg_end: jnp.ndarray      # (N,) int32 emission segment end (exclusive)
+    num_pairs: jnp.ndarray    # () int32 pairs actually emitted (<= capacity)
+    overflow: jnp.ndarray     # () int32 pairs dropped for lack of capacity
+
+
+def _rect(mean2d, radius, tile_w, tile_h, n_tx, n_ty):
+    """Coarse rect in Pallas-tile units (getRect, auxiliary.h:46-56)."""
+    mx = mean2d[:, 0]
+    my = mean2d[:, 1]
+    x0 = jnp.clip(((mx - radius) / tile_w).astype(jnp.int32), 0, n_tx)
+    y0 = jnp.clip(((my - radius) / tile_h).astype(jnp.int32), 0, n_ty)
+    x1 = jnp.clip(((mx + radius + tile_w - 1) / tile_w).astype(jnp.int32),
+                  0, n_tx)
+    y1 = jnp.clip(((my + radius + tile_h - 1) / tile_h).astype(jnp.int32),
+                  0, n_ty)
+    return x0, y0, x1, y1
+
+
+@partial(jax.jit, static_argnames=(
+    "tile_w", "tile_h", "n_tx", "n_ty", "capacity", "chunk"))
+def plan_pairs(
+    prep: Preprocessed,
+    tile_w: int, tile_h: int, n_tx: int, n_ty: int,
+    capacity: int,
+    chunk: int = 128,
+    radius_scale: float = 1.0,
+    radius_pad: float = 0.0,
+) -> PairPlan:
+    """Expand valid Gaussians into depth-sorted, tile-grouped pair slots."""
+    prep = jax.tree.map(jax.lax.stop_gradient, prep)
+    n = prep.depth.shape[0]
+    n_tiles = n_tx * n_ty
+    B_al = capacity + n_tiles * chunk
+
+    radius = jnp.where(prep.valid, prep.radius * radius_scale + radius_pad,
+                       0.0)
+    x0, y0, x1, y1 = _rect(prep.mean2d, radius, tile_w, tile_h, n_tx, n_ty)
+    w = x1 - x0
+    counts = jnp.where(prep.valid, w * (y1 - y0), 0).astype(jnp.int32)
+
+    offs = jnp.cumsum(counts)                     # inclusive (N,)
+    total = offs[-1]
+    starts = offs - counts
+    num_pairs = jnp.minimum(total, capacity)
+    overflow = jnp.maximum(total - capacity, 0)
+
+    # emission slot p -> owning gaussian, via scatter-set + cummax (only
+    # gaussians with counts>0 scatter; their starts are distinct).
+    g_idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where((counts > 0) & (starts < capacity), starts, capacity)
+    gmark = jnp.zeros((capacity,), jnp.int32).at[pos].max(
+        g_idx + 1, mode="drop")
+    gid = jnp.maximum(jax.lax.cummax(gmark) - 1, 0)          # (capacity,)
+    smark = jnp.zeros((capacity,), jnp.int32).at[pos].max(
+        starts + 1, mode="drop")
+    start_of_p = jnp.maximum(jax.lax.cummax(smark) - 1, 0)
+
+    p_idx = jnp.arange(capacity, dtype=jnp.int32)
+    local = p_idx - start_of_p
+    pair_ok = p_idx < num_pairs
+
+    # one packed gather for per-pair gaussian data
+    btab = jnp.stack([x0.astype(jnp.float32), y0.astype(jnp.float32),
+                      jnp.maximum(w, 1).astype(jnp.float32),
+                      prep.depth], axis=1)                   # (N, 4)
+    bt = btab[gid]                                           # (capacity, 4)
+    wg = bt[:, 2].astype(jnp.int32)
+    tx = bt[:, 0].astype(jnp.int32) + local % wg
+    ty = bt[:, 1].astype(jnp.int32) + local // wg
+    tile_id = jnp.where(pair_ok, ty * n_tx + tx, n_tiles)
+    depth_key = jnp.where(pair_ok, bt[:, 3], jnp.inf)
+
+    # stable 2-key sort == CUB's fused [tile|depth-bits] 64-bit radix sort
+    tile_s, _, gid_s, em_s = jax.lax.sort(
+        (tile_id, depth_key, gid, p_idx), num_keys=2)
+
+    # per-tile ranges in sorted order (few queries -> searchsorted is fine)
+    t_ar = jnp.arange(n_tiles, dtype=jnp.int32)
+    rs = jnp.searchsorted(tile_s, t_ar, side="left").astype(jnp.int32)
+    re_ = jnp.searchsorted(tile_s, t_ar, side="right").astype(jnp.int32)
+    n_t = re_ - rs
+
+    # aligned relocation offsets: tile t starts at astart[t] (mult of chunk)
+    cap_t = ((n_t + chunk - 1) // chunk) * chunk
+    astart = (jnp.cumsum(cap_t) - cap_t).astype(jnp.int32)
+    ranges = jnp.stack([astart, astart + n_t], axis=-1)
+
+    # per-sorted-slot shift via delta scatter + cumsum (empty tiles can
+    # share rs positions, so deltas must accumulate -> tiny scatter-add)
+    shift = astart - rs                                      # (n_tiles,)
+    delta = jnp.diff(shift, prepend=shift[:1] * 0) + jnp.where(
+        t_ar == 0, shift[0], 0)
+    dpos = jnp.where(rs < capacity, rs, capacity)
+    dvec = jnp.zeros((capacity,), jnp.int32).at[dpos].add(delta, mode="drop")
+    new_pos = p_idx + jnp.cumsum(dvec)
+    new_pos = jnp.where(tile_s < n_tiles, new_pos, B_al)
+
+    pair_gid1 = jnp.zeros((B_al,), jnp.int32).at[new_pos].set(
+        gid_s + 1, mode="drop")
+    aligned_of_em = jnp.full((capacity,), B_al, jnp.int32).at[em_s].set(
+        new_pos, mode="drop")
+
+    return PairPlan(pair_gid1=pair_gid1, ranges=ranges,
+                    aligned_of_em=aligned_of_em,
+                    seg_start=starts, seg_end=offs,
+                    num_pairs=num_pairs, overflow=overflow)

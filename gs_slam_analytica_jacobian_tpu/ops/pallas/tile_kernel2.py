@@ -1,0 +1,500 @@
+"""Pallas TPU kernels v2: 32x32-pixel tiled alpha compositing, fwd + bwd.
+
+TPU-native rebuild of the CUDA per-tile rasterization kernels
+(cuda_rasterizer/forward.cu:406-535, backward.cu:648-872). Changes vs the
+round-1 kernel (ops/pallas/tile_composite.py):
+
+- Tiles are 32x32 PIXELS mapped onto one (8,128) f32 VMEM block
+  (sublane s, lane l -> pixel (s*4 + l//32, l%32)). A Gaussian of typical
+  radius touches ~2x fewer 32x32 tiles than 8x128 tiles, halving both the
+  pair count and the per-pair wasted pixels. The image is assembled from
+  the permuted block layout by one XLA reshape/transpose afterwards.
+- BOTH kernels early-exit once every pixel of the tile has terminated.
+  Their per-pair HBM outputs (n_touched, feature gradients) are
+  zero-initialized via input_output_aliases, so skipped chunks correctly
+  contribute zeros (fixes the round-1 advisor finding: garbage n_touched
+  rows on real TPU).
+- Out-of-image pixels in boundary tiles start with done=1 so they cannot
+  suppress the early exit.
+- The termination cut needs no scan: T_incl is monotone non-increasing
+  along the chunk, so (T_incl < eps) is itself the suffix indicator.
+  new_T is a masked min-reduce instead of a third multiplicative scan.
+- Chunk DMAs are double-buffered (in-flight copy drained on early exit).
+
+Semantics carried over exactly (forward.cu:406-535): power>0 skip,
+alpha<1/255 skip, alpha capped at 0.99 (value only, gradients flow
+unclamped like backward.cu:772-773), termination when T would drop below
+1e-4 (the triggering Gaussian dropped), 16x16 rect visibility test,
+n_touched counted where test_T > 0.5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..binning2 import FEAT_DIM
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+TPX = 32          # tile width in pixels
+TPY = 32          # tile height in pixels
+P = TPX * TPY     # 1024 = (8, 128) f32 block
+K = 128           # pairs per chunk (lane-aligned for the (F, K) DMA slice)
+
+
+def grid_dims(width: int, height: int):
+    return (width + TPX - 1) // TPX, (height + TPY - 1) // TPY
+
+
+def _scan_mul(x):
+    """Inclusive multiplicative Hillis-Steele scan along axis 0 of (K, P)."""
+    s = 1
+    while s < x.shape[0]:
+        pad = jnp.ones((s,) + x.shape[1:], x.dtype)
+        x = x * jnp.concatenate([pad, x[:-s]], axis=0)
+        s *= 2
+    return x
+
+
+def _scan_add(x):
+    s = 1
+    while s < x.shape[0]:
+        pad = jnp.zeros((s,) + x.shape[1:], x.dtype)
+        x = x + jnp.concatenate([pad, x[:-s]], axis=0)
+        s *= 2
+    return x
+
+
+def _shift_down(x, identity):
+    pad = jnp.full((1,) + x.shape[1:], identity, x.dtype)
+    return jnp.concatenate([pad, x[:-1]], axis=0)
+
+
+def _pixel_rows(ty, tx, W, H):
+    """(1, P) pixel coords for this tile under the lane permutation
+    q = s*128 + l -> (y, x) = (ty*32 + s*4 + l//32, tx*32 + l%32)."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    s = q // 128
+    l = q % 128
+    x_in = l % TPX
+    y_in = s * 4 + l // TPX
+    f32 = jnp.float32
+    px = (tx * TPX + x_in).astype(f32)
+    py = (ty * TPY + y_in).astype(f32)
+    pix_in = ((px < W) & (py < H))
+    return px, py, pix_in
+
+
+def _chunk_terms(feat, px, py, t16x, t16y, row_ok):
+    """feat: (K, FEAT_DIM). Returns (alpha_unclamped, alpha, ok, dx, dy)."""
+    mx = feat[:, 0:1]
+    my = feat[:, 1:2]
+    ca = feat[:, 2:3]
+    cb = feat[:, 3:4]
+    cc = feat[:, 4:5]
+    opa = feat[:, 5:6]
+    rx0 = feat[:, 10:11]
+    ry0 = feat[:, 11:12]
+    rx1 = feat[:, 12:13]
+    ry1 = feat[:, 13:14]
+
+    dx = mx - px                                   # (K, P)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    rect_ok = ((t16x >= rx0) & (t16x < rx1) & (t16y >= ry0) & (t16y < ry1))
+    a_un = opa * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, a_un)
+    ok = row_ok & rect_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return a_un, alpha, ok, dx, dy
+
+
+def make_forward_kernel(n_tx, W, H):
+    def kernel(ranges_ref, feat_hbm, ntz_ref, img_ref, ntouch_hbm,
+               feat_vmem, nt_vmem, sem_in, sem_out):
+        del ntz_ref  # aliased into ntouch_hbm (zero-init)
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        tile = ty * n_tx + tx
+        start = ranges_ref[tile, 0]
+        n = ranges_ref[tile, 1] - start
+
+        f32 = jnp.float32
+        px, py, pix_in = _pixel_rows(ty, tx, W, H)
+        t16x = jnp.floor(px / 16.0)
+        t16y = jnp.floor(py / 16.0)
+        pix_in_f = pix_in.astype(f32)
+
+        n_chunks = (n + K - 1) // K
+
+        def dma_in(c):
+            slot = jax.lax.rem(c, 2)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
+                feat_vmem.at[slot], sem_in.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma_in(0).start()
+
+        def body(state):
+            c, (T_carry, done, acc) = state
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                dma_in(c + 1).start()
+
+            dma_in(c).wait()
+            slot = jax.lax.rem(c, 2)
+            feat = jnp.transpose(feat_vmem[slot])             # (K, FEAT_DIM)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+            row_ok = rows < (n - c * K)
+
+            _, alpha, ok, _, _ = _chunk_terms(
+                feat, px, py, t16x, t16y, row_ok)
+            live = ok & (done < 0.5)
+            alpha_eff = jnp.where(live, alpha, 0.0)
+            cum_incl = _scan_mul(1.0 - alpha_eff)
+            T_excl = T_carry * _shift_down(cum_incl, 1.0)
+            T_incl = T_carry * cum_incl
+            # T_incl is monotone along K, so (T_incl < eps) marks the
+            # triggering gaussian and everything behind it.
+            term = T_incl < T_EPS
+            include = live & ~term
+            w = jnp.where(include, alpha, 0.0) * T_excl       # (K, P)
+
+            cfeat = feat[:, 6:10]                             # (K, 4) rgb+d
+            acc = acc + jax.lax.dot_general(
+                cfeat, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                   # (4, P)
+
+            new_T = jnp.minimum(
+                T_carry,
+                jnp.min(jnp.where(include, T_incl, 2.0), axis=0,
+                        keepdims=True))
+            new_done = jnp.maximum(
+                done,
+                jnp.max((live & term).astype(f32), axis=0, keepdims=True))
+
+            nt = jnp.sum(
+                jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0),
+                axis=1, keepdims=True)                        # (K, 1)
+            nt_vmem[0:1, :] = jnp.transpose(nt)
+            cp_out = pltpu.make_async_copy(
+                nt_vmem,
+                ntouch_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
+                sem_out)
+            cp_out.start()
+            cp_out.wait()
+            return c + 1, (new_T, new_done, acc)
+
+        T0 = jnp.ones((1, P), f32)
+        done0 = jnp.where(pix_in, 0.0, 1.0).astype(f32)       # (1, P)
+        acc0 = jnp.zeros((4, P), f32)
+
+        def cond(state):
+            c, (_, done, _) = state
+            return (c < n_chunks) & (jnp.min(done) < 0.5)
+
+        c_end, (T_f, _, acc_f) = jax.lax.while_loop(
+            cond, body, (0, (T0, done0, acc0)))
+
+        # drain the in-flight prefetch if we exited early
+        @pl.when(c_end < n_chunks)
+        def _():
+            dma_in(c_end).wait()
+
+        out = jnp.concatenate(
+            [acc_f, T_f, jnp.zeros((1, P), f32)], axis=0)     # (6, P)
+        img_ref[:, :, :] = out.reshape(6, 8, 128)
+
+    return kernel
+
+
+def make_backward_kernel(n_tx, W, H):
+    def kernel(ranges_ref, feat_hbm, fwd_ref, cot_ref, dfz_ref, dfeat_hbm,
+               feat_vmem, dgrad_vmem, sem_in, sem_out):
+        del dfz_ref  # aliased into dfeat_hbm (zero-init)
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        tile = ty * n_tx + tx
+        start = ranges_ref[tile, 0]
+        n = ranges_ref[tile, 1] - start
+
+        f32 = jnp.float32
+        px, py, pix_in = _pixel_rows(ty, tx, W, H)
+        t16x = jnp.floor(px / 16.0)
+        t16y = jnp.floor(py / 16.0)
+
+        fwd = fwd_ref[:, :, :].reshape(6, P)
+        C_total = fwd[0:3]                                    # (3, P)
+        D_total = fwd[3:4]
+        T_final = fwd[4:5]
+        cot = cot_ref[:, :, :].reshape(5, P)
+        dC = cot[0:3]
+        dD = cot[3:4]
+        dT = cot[4:5]
+
+        n_chunks = (n + K - 1) // K
+
+        def dma_in(c):
+            slot = jax.lax.rem(c, 2)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
+                feat_vmem.at[slot], sem_in.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma_in(0).start()
+
+        def body(state):
+            c, (T_carry, done, pref_c, pref_d) = state
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                dma_in(c + 1).start()
+
+            dma_in(c).wait()
+            slot = jax.lax.rem(c, 2)
+            feat = jnp.transpose(feat_vmem[slot])             # (K, FEAT_DIM)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+            row_ok = rows < (n - c * K)
+
+            a_un, alpha, ok, dx, dy = _chunk_terms(
+                feat, px, py, t16x, t16y, row_ok)
+            live = ok & (done < 0.5)
+            alpha_eff = jnp.where(live, alpha, 0.0)
+            cum_incl = _scan_mul(1.0 - alpha_eff)
+            T_excl = T_carry * _shift_down(cum_incl, 1.0)
+            T_incl = T_carry * cum_incl
+            term = T_incl < T_EPS
+            include = live & ~term
+            w = jnp.where(include, alpha, 0.0) * T_excl       # (K, P)
+
+            colors = feat[:, 6:9]                             # (K, 3)
+            depths = feat[:, 9:10]                            # (K, 1)
+
+            # dL/dalpha: forward-order prefix sums replace the CUDA
+            # back-to-front re-traversal (backward.cu:705-830)
+            inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-6)
+            dLda = dD * depths * T_excl + dT * (-T_final * inv_om)
+            new_pref_c = []
+            for ch in range(3):
+                pc_ch = _scan_add(w * colors[:, ch:ch + 1]) \
+                    + pref_c[ch:ch + 1]                       # (K, P)
+                S_after = C_total[ch:ch + 1] - pc_ch
+                dLda = dLda + dC[ch:ch + 1] * (
+                    colors[:, ch:ch + 1] * T_excl - S_after * inv_om)
+                new_pref_c.append(pc_ch[-1:])
+            pd_in = _scan_add(w * depths) + pref_d
+            dLda = dLda - dD * (D_total - pd_in) * inv_om
+            dLda = jnp.where(include, dLda, 0.0)              # (K, P)
+
+            # color/depth grads: sum_p w * cotangent (MXU)
+            d_colors = jax.lax.dot_general(
+                w, jnp.transpose(dC), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                   # (K, 3)
+            d_depths = jax.lax.dot_general(
+                w, jnp.transpose(dD), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                   # (K, 1)
+
+            # alpha = opa * G; grads flow through the unclamped value
+            opa = feat[:, 5:6]
+            G = jnp.where(include, a_un / jnp.maximum(opa, 1e-12), 0.0)
+            dLdG = opa * dLda
+            d_opa = jnp.sum(G * dLda, axis=1, keepdims=True)  # (K, 1)
+
+            ca = feat[:, 2:3]
+            cb = feat[:, 3:4]
+            cc = feat[:, 4:5]
+            gdx = G * dx
+            gdy = G * dy
+            dG_ddx = -gdx * ca - gdy * cb
+            dG_ddy = -gdy * cc - gdx * cb
+            d_mx = jnp.sum(dLdG * dG_ddx, axis=1, keepdims=True)
+            d_my = jnp.sum(dLdG * dG_ddy, axis=1, keepdims=True)
+            d_ca = jnp.sum(dLdG * (-0.5 * gdx * dx), axis=1, keepdims=True)
+            d_cb = jnp.sum(dLdG * (-gdx * dy), axis=1, keepdims=True)
+            d_cc = jnp.sum(dLdG * (-0.5 * gdy * dy), axis=1, keepdims=True)
+
+            dgrad = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_opa, d_colors, d_depths,
+                 jnp.zeros((K, FEAT_DIM - 10), f32)], axis=1)
+            dgrad = jnp.where(row_ok, dgrad, 0.0)
+            dgrad_vmem[:, :] = jnp.transpose(dgrad)           # (FEAT_DIM, K)
+            cp_out = pltpu.make_async_copy(
+                dgrad_vmem,
+                dfeat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
+                sem_out)
+            cp_out.start()
+            cp_out.wait()
+
+            new_T = jnp.minimum(
+                T_carry,
+                jnp.min(jnp.where(include, T_incl, 2.0), axis=0,
+                        keepdims=True))
+            new_done = jnp.maximum(
+                done,
+                jnp.max((live & term).astype(f32), axis=0, keepdims=True))
+            return c + 1, (new_T, new_done,
+                           jnp.concatenate(new_pref_c, axis=0), pd_in[-1:])
+
+        T0 = jnp.ones((1, P), f32)
+        done0 = jnp.where(pix_in, 0.0, 1.0).astype(f32)
+        pc0 = jnp.zeros((3, P), f32)
+        pd0 = jnp.zeros((1, P), f32)
+
+        def cond(state):
+            c, (_, done, _, _) = state
+            return (c < n_chunks) & (jnp.min(done) < 0.5)
+
+        c_end, _ = jax.lax.while_loop(cond, body, (0, (T0, done0, pc0, pd0)))
+
+        @pl.when(c_end < n_chunks)
+        def _():
+            dma_in(c_end).wait()
+
+    return kernel
+
+
+class Composite2Out(NamedTuple):
+    color_sum: jnp.ndarray        # (3, H, W) — before background
+    depth_sum: jnp.ndarray        # (H, W)
+    final_T: jnp.ndarray          # (H, W)
+    n_touched_pairs: jnp.ndarray  # (B_al,) f32 per-pair touch counts
+
+
+def assemble_image(img_blocks, n_tx, n_ty, W, H):
+    """(C, n_ty*8, n_tx*128) block-permuted -> (C, H, W)."""
+    C = img_blocks.shape[0]
+    x = img_blocks.reshape(C, n_ty, 8, n_tx, 4, TPX)
+    x = jnp.transpose(x, (0, 1, 2, 4, 3, 5))      # (C, n_ty, 8, 4, n_tx, 32)
+    x = x.reshape(C, n_ty * TPY, n_tx * TPX)
+    return x[:, :H, :W]
+
+
+def disassemble_image(img, n_tx, n_ty):
+    """(C, H, W) -> (C, n_ty*8, n_tx*128) block-permuted (zero padded)."""
+    C, H_, W_ = img.shape
+    x = jnp.pad(img, ((0, 0), (0, n_ty * TPY - H_), (0, n_tx * TPX - W_)))
+    x = x.reshape(C, n_ty, 8, 4, n_tx, TPX)
+    x = jnp.transpose(x, (0, 1, 2, 4, 3, 5))      # (C, n_ty, 8, n_tx, 4, 32)
+    return x.reshape(C, n_ty * 8, n_tx * 128)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret"))
+def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False):
+    B_al = feat.shape[0]
+    feat_v = jnp.transpose(feat)                  # (FEAT_DIM, B_al)
+    kernel = make_forward_kernel(n_tx, W, H)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
+            pltpu.VMEM((1, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    img, ntouch = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((6, n_ty * 8, n_tx * 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, B_al), jnp.float32),
+        ),
+        input_output_aliases={2: 1},   # zeros operand -> ntouch output
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, feat_v, jnp.zeros((1, B_al), jnp.float32))
+    return img, ntouch[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret"))
+def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
+              interpret=False):
+    B_al = feat.shape[0]
+    feat_v = jnp.transpose(feat)
+    kernel = make_backward_kernel(n_tx, W, H)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 8, 128), lambda ty, tx, *_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
+            pltpu.VMEM((FEAT_DIM, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dfeat_v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((FEAT_DIM, B_al), jnp.float32),
+        input_output_aliases={4: 0},   # zeros operand -> dfeat output
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, feat_v, fwd_img, cot_img,
+      jnp.zeros((FEAT_DIM, B_al), jnp.float32))
+    return jnp.transpose(dfeat_v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def composite32(feat, ranges, n_tx, n_ty, W, H,
+                interpret=False) -> Composite2Out:
+    """Differentiable 32x32-tiled compositing.
+
+    feat: (B_al, FEAT_DIM) aligned pair records; ranges: (n_tiles, 2) i32.
+    """
+    img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret)
+    asm = assemble_image(img, n_tx, n_ty, W, H)
+    return Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
+                         final_T=asm[4], n_touched_pairs=ntouch)
+
+
+def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False):
+    img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret)
+    asm = assemble_image(img, n_tx, n_ty, W, H)
+    out = Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
+                        final_T=asm[4], n_touched_pairs=ntouch)
+    return out, (feat, ranges, img)
+
+
+def _c32_bwd(n_tx, n_ty, W, H, interpret, res, cot):
+    feat, ranges, fwd_img = res
+    cot_asm = jnp.concatenate(
+        [cot.color_sum, cot.depth_sum[None], cot.final_T[None]], axis=0)
+    cot_img = disassemble_image(cot_asm, n_tx, n_ty)
+    dfeat = _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
+                      interpret)
+    return dfeat, None
+
+
+composite32.defvjp(_c32_fwd, _c32_bwd)

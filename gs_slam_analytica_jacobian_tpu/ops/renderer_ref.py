@@ -41,6 +41,8 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray       # (N,) float (0 for culled)
     n_touched: jnp.ndarray   # (N,) int32
     mean2d: jnp.ndarray      # (N, 2) pixel coords (for densification stats)
+    overflow: jnp.ndarray = None  # pairs dropped by the tiled binner
+                                  # (0 / None = exact render)
 
 
 def _composite_rows(
@@ -152,6 +154,7 @@ def render_from_preprocessed(
         radii=prep.radius,
         n_touched=n_touched,
         mean2d=prep.mean2d,
+        overflow=jnp.zeros((), jnp.int32),
     )
 
 

@@ -1,18 +1,22 @@
-"""Production tiled renderer: preprocess (XLA+AD) -> binning (XLA) ->
-Pallas compositing (custom_vjp).
+"""Production tiled renderer v2: preprocess (XLA+AD) -> pair plan (XLA) ->
+packed gather (custom_vjp) -> 32x32 Pallas compositing (custom_vjp).
 
 This is the fast path used by tracking/mapping; ops.renderer_ref is the
 semantics oracle it is tested against. The whole function is differentiable
 w.r.t. every Gaussian parameter and the pose delta tau:
 
-  preprocess        — jnp, JAX AD supplies the preprocess backward
-                      (replaces cuda_rasterizer/backward.cu:150-624)
-  binning + gather  — lax.sort / searchsorted; the gather's transpose is a
-                      scatter-add (replaces the CUDA backward's atomics)
-  composite_tiles   — Pallas forward/backward kernel pair (custom_vjp)
+  preprocess     — jnp; JAX AD supplies the preprocess backward
+                   (replaces cuda_rasterizer/backward.cu:150-624)
+  plan_pairs     — sort/cummax-based static-shape binning (replaces
+                   rasterizer_impl.cu:70-367); non-differentiable structure,
+                   REUSABLE across iterations (pass ``plan=``)
+  pair_gather    — one packed gather; its VJP is a cumsum segment-reduce
+                   (replaces the CUDA backward's atomicAdd accumulation)
+  composite32    — Pallas forward/backward kernel pair
 
 Outputs mirror the reference render() dict
-(gaussian_splatting/gaussian_renderer/__init__.py:156-164).
+(gaussian_splatting/gaussian_renderer/__init__.py:156-164), plus the
+binning ``overflow`` diagnostic (pairs dropped for lack of capacity).
 """
 
 from __future__ import annotations
@@ -23,29 +27,66 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .binning import bin_gaussians, build_pair_features
+from .binning2 import FEAT_DIM, PairPlan, plan_pairs
 from .gaussian_math import Preprocessed, preprocess
-from .pallas.tile_composite import composite_tiles
+from .pair_gather import pair_gather, segment_reduce_pairs
+from .pallas.tile_kernel2 import TPX, TPY, K, composite32, grid_dims
 from .renderer_ref import RenderOutput
 
-# Pallas tile geometry: lanes-aligned (sublanes x lanes). CHUNK must be a
-# multiple of 128 (pair-chunk DMAs slice whole 128-lane blocks of the
-# field-major pair store).
-TILE_H = 8
-TILE_W = 128
-CHUNK = 128
+# kept for backward compatibility with round-1 naming
+TILE_W = TPX
+TILE_H = TPY
+CHUNK = K
 
 
 def _grid_dims(width: int, height: int):
-    n_tx = (width + TILE_W - 1) // TILE_W
-    n_ty = (height + TILE_H - 1) // TILE_H
-    return n_tx, n_ty
+    return grid_dims(width, height)
+
+
+def pack_table(prep: Preprocessed) -> jnp.ndarray:
+    """(N, FEAT_DIM) per-gaussian feature rows for the pair gather.
+
+    Layout: [mean2d(2), conic(3), opacity, color(3), depth, rect16(4),
+    pad(2)]. The 16px rect rides along (stop-grad) so the kernel can apply
+    the CUDA-parity per-pixel visibility test with CURRENT means even when
+    the pair plan is amortized across iterations.
+    """
+    n = prep.depth.shape[0]
+    rect = jnp.concatenate(
+        [prep.rect_min.astype(prep.mean2d.dtype),
+         prep.rect_max.astype(prep.mean2d.dtype)], axis=-1)   # (N, 4)
+    return jnp.concatenate([
+        prep.mean2d,
+        prep.conic,
+        prep.opacity[:, None],
+        prep.color,
+        prep.depth[:, None],
+        jax.lax.stop_gradient(rect),
+        jnp.zeros((n, FEAT_DIM - 14), prep.mean2d.dtype),
+    ], axis=-1)
+
+
+def make_plan(
+    prep: Preprocessed,
+    width: int, height: int,
+    pair_capacity: int,
+    active: Optional[jnp.ndarray] = None,
+    radius_scale: float = 1.0,
+    radius_pad: float = 0.0,
+) -> PairPlan:
+    """Bin Gaussians into a reusable PairPlan (non-differentiable)."""
+    n_tx, n_ty = grid_dims(width, height)
+    if active is not None:
+        prep = prep._replace(valid=prep.valid & active)
+    return plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity, chunk=K,
+                      radius_scale=radius_scale, radius_pad=radius_pad)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "fx", "fy", "width", "height",
-                     "tanfovx", "tanfovy", "pair_capacity", "interpret"))
+                     "tanfovx", "tanfovy", "pair_capacity", "interpret",
+                     "need_n_touched"))
 def render(
     means3d: jnp.ndarray,
     cov6: jnp.ndarray,
@@ -61,10 +102,12 @@ def render(
     active: Optional[jnp.ndarray] = None,
     colors_precomp: Optional[jnp.ndarray] = None,
     mean2d_offset: Optional[jnp.ndarray] = None,
-    pair_capacity: int = 1 << 20,
+    pair_capacity: int = 1 << 19,
     interpret: bool = False,
+    plan: Optional[PairPlan] = None,
+    need_n_touched: bool = True,
 ) -> RenderOutput:
-    n_tx, n_ty = _grid_dims(width, height)
+    n_tx, n_ty = grid_dims(width, height)
 
     prep = preprocess(
         means3d, cov6, opacities, shs, sh_degree, w2c, proj, tau,
@@ -76,34 +119,32 @@ def render(
             radius=jnp.where(active, prep.radius, 0.0),
             tiles_touched=jnp.where(active, prep.tiles_touched, 0))
 
-    binned = bin_gaussians(
-        jax.tree.map(jax.lax.stop_gradient, prep),
-        TILE_W, TILE_H, n_tx, n_ty, pair_capacity, chunk=CHUNK)
-    # Differentiable feature gather (binned.feat is built under stop_grad
-    # inside the jitted binning; rebuild it so gradients flow).
-    feat = build_pair_features(prep, binned.pair_gid, binned.pair_valid)
+    if plan is None:
+        plan = plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity,
+                          chunk=K)
 
-    out = composite_tiles(
-        feat, binned.ranges, TILE_H, TILE_W, CHUNK, n_tx, n_ty,
-        width, height, interpret)
+    table = pack_table(prep)
+    feat = pair_gather(table, plan)
 
-    color_sum = out.color_sum[:, :height, :width]
-    depth = out.depth_sum[:height, :width]
-    final_T = out.final_T[:height, :width]
-    color = color_sum + final_T[None] * bg[:, None, None]
-    opacity = 1.0 - final_T
+    out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
+                      interpret)
 
-    # per-gaussian n_touched: segment-sum of per-pair touch counts
-    n = means3d.shape[0]
-    nt = jnp.zeros((n,), jnp.float32).at[binned.pair_gid].add(
-        jnp.where(binned.pair_valid, out.n_touched_pairs, 0.0), mode="drop")
+    color = out.color_sum + out.final_T[None] * bg[:, None, None]
+    opacity = 1.0 - out.final_T
+
+    if need_n_touched:
+        nt = segment_reduce_pairs(out.n_touched_pairs, plan)
+        nt = nt.astype(jnp.int32)
+    else:
+        nt = jnp.zeros((means3d.shape[0],), jnp.int32)
 
     return RenderOutput(
         color=color,
-        depth=depth[None],
+        depth=out.depth_sum[None],
         opacity=opacity[None],
-        final_T=final_T,
+        final_T=out.final_T,
         radii=prep.radius,
-        n_touched=nt.astype(jnp.int32),
+        n_touched=nt,
         mean2d=prep.mean2d,
+        overflow=plan.overflow,
     )

@@ -30,6 +30,8 @@ def render(
     use_oracle: bool = False,
     pair_capacity: int = 1 << 20,
     interpret: bool = False,
+    plan=None,
+    need_n_touched: bool = True,
 ) -> RenderOutput:
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -52,4 +54,33 @@ def render(
     if use_oracle:
         return renderer_ref.render(**kwargs)
     return renderer_tiled.render(
-        **kwargs, pair_capacity=pair_capacity, interpret=interpret)
+        **kwargs, pair_capacity=pair_capacity, interpret=interpret,
+        plan=plan, need_n_touched=need_n_touched)
+
+
+def make_render_plan(
+    gm: GaussianMap,
+    cam: Camera,
+    pair_capacity: int = 1 << 20,
+    radius_scale: float = 1.0,
+    radius_pad: float = 0.0,
+    scaling_modifier: float = 1.0,
+):
+    """Bin once for the given pose; reuse via ``render(..., plan=plan)``.
+
+    The pose-optimization inner loop moves the camera by well under a
+    pixel per iteration, so a plan built from the frame-start pose with a
+    small ``radius_pad`` stays a superset of the exact pair set (the
+    kernel's per-pixel 16px rect test is always evaluated with CURRENT
+    means, so extra pairs only cost time, never correctness)."""
+    from ..ops import gaussian_math as gmath
+    from ..ops.renderer_tiled import make_plan
+
+    prep = gmath.preprocess(
+        gm.xyz, gm.get_cov6(scaling_modifier), gm.get_opacity(),
+        gm.get_features(), gm.active_sh_degree, cam.w2c(), cam.projection(),
+        jnp.zeros((6,), jnp.float32), cam.fx, cam.fy, cam.width, cam.height,
+        cam.tanfovx, cam.tanfovy)
+    return make_plan(prep, cam.width, cam.height, pair_capacity,
+                     active=gm.active, radius_scale=radius_scale,
+                     radius_pad=radius_pad)

@@ -26,7 +26,7 @@ from ..models.camera import Camera, PoseState
 from ..models.gaussian_map import GaussianMap
 from ..ops import losses
 from ..ops.lie import se3_exp
-from .render_api import render
+from .render_api import make_render_plan, render
 
 
 class TrackAdamState(NamedTuple):
@@ -59,7 +59,8 @@ def _adam8(adam: TrackAdamState, g: jnp.ndarray, lrs: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "max_iters",
-                     "pair_capacity", "interpret", "use_oracle"))
+                     "pair_capacity", "interpret", "use_oracle",
+                     "amortize_binning"))
 def track_frame(
     gm: GaussianMap,
     cam_template: Camera,          # static geometry (fx..H); R/t in state
@@ -76,20 +77,36 @@ def track_frame(
     pair_capacity: int = 1 << 20,
     interpret: bool = False,
     use_oracle: bool = False,
+    amortize_binning: bool = True,
 ):
     """Full tracking optimization for one frame.
 
     Returns (R, t, exposure_a, exposure_b, n_iters, final RenderOutput).
+
+    ``amortize_binning``: bin the Gaussians into tiles ONCE from the
+    warm-start pose (with an inflated radius so the pair set stays a
+    superset while the pose converges) and reuse the plan for every
+    iteration. The CUDA reference re-bins per render because its binning
+    is ~free (rasterizer_impl.cu:327-367); on TPU the binning is sort/
+    gather-bound, and intra-frame pose deltas are sub-pixel.
     """
     lrs = jnp.concatenate([
         jnp.full((3,), lr_trans), jnp.full((3,), lr_rot),
         jnp.full((2,), 0.01)]).astype(jnp.float32)
 
+    if amortize_binning and not use_oracle:
+        plan = make_render_plan(
+            gm, cam_template.replace(R=R0, t=t0),
+            pair_capacity=pair_capacity, radius_scale=1.1, radius_pad=8.0)
+    else:
+        plan = None
+
     def loss_fn(tau, exp_a, exp_b, R, t):
         cam = cam_template.replace(R=R, t=t)
         pose = PoseState(tau=tau, exposure_a=exp_a, exposure_b=exp_b)
         out = render(gm, cam, pose, bg, pair_capacity=pair_capacity,
-                     interpret=interpret, use_oracle=use_oracle)
+                     interpret=interpret, use_oracle=use_oracle,
+                     plan=plan, need_n_touched=False)
         image_ab = losses.apply_exposure(out.color, exp_a, exp_b)
         if monocular:
             L = losses.loss_tracking_rgb(
