@@ -289,11 +289,12 @@ def update_max_radii(gm: GaussianMap, radii: jnp.ndarray,
 
 def reset_opacity(gm: GaussianMap, state: AdamState,
                   value: float = 0.01) -> Tuple[GaussianMap, AdamState]:
-    """reset_opacity (gaussian_model.py:438-441): set opacity to `value`
-    and zero the opacity Adam state."""
-    new_op = jnp.where(gm.active[:, None],
-                       inverse_sigmoid(jnp.full_like(gm.opacity, value)),
-                       gm.opacity)
+    """reset_opacity (gaussian_model.py:438-441): opacity <-
+    min(get_opacity, value) — gaussians already more transparent than
+    `value` keep their opacity — and zero the opacity Adam state."""
+    cur = jax.nn.sigmoid(gm.opacity)
+    tgt = inverse_sigmoid(jnp.minimum(cur, value))
+    new_op = jnp.where(gm.active[:, None], tgt, gm.opacity)
     m = dict(state.m); v = dict(state.v)
     m["opacity"] = jnp.zeros_like(m["opacity"])
     v["opacity"] = jnp.zeros_like(v["opacity"])

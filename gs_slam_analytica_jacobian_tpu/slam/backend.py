@@ -363,19 +363,27 @@ class BackEnd:
         self.map(self.current_window, prune=True,
                  frames_to_optimize=frames_to_optimize)
 
-    def color_refinement(self, iteration_total: int = 26000):
-        """reference slam_backend.py:320-353."""
+    def color_refinement(self, iteration_total: int = 26000,
+                         batch: int = 256):
+        """reference slam_backend.py:320-353, batched on-device: random KF
+        slots and xyz LRs are precomputed per batch and the whole batch runs
+        as one lax.scan program (mapping.color_refinement_steps)."""
         Log("Starting color refinement", tag="Backend")
-        uids = list(self.uid_to_slot.keys())
-        for it in range(1, iteration_total + 1):
-            uid = uids[self._py_rng.randint(0, len(uids) - 1)]
-            slot = self.uid_to_slot[uid]
-            self.gm, self.gm_adam, _ = mapping.color_refinement_step(
-                self.gm, self.gm_adam, self.store, jnp.asarray(slot),
-                self.cam, self.bg,
-                self._gm_lrs(self._xyz_lr(it)), self.lambda_dssim,
+        slots = [self.uid_to_slot[u] for u in self.uid_to_slot]
+        it = 0
+        while it < iteration_total:
+            T = min(batch, iteration_total - it)
+            idxs = jnp.asarray(
+                [slots[self._py_rng.randint(0, len(slots) - 1)]
+                 for _ in range(T)], jnp.int32)
+            xyz_lrs = jnp.asarray(
+                [self._xyz_lr(it + 1 + i) for i in range(T)], jnp.float32)
+            self.gm, self.gm_adam, _ = mapping.color_refinement_steps(
+                self.gm, self.gm_adam, self.store, idxs, xyz_lrs,
+                self.cam, self.bg, self._gm_lrs(), self.lambda_dssim,
                 pair_capacity=self.pair_capacity, interpret=self.interpret,
                 use_oracle=self.use_oracle)
+            it += T
         Log("Map refinement done", tag="Backend")
 
     def keyframe_poses(self):

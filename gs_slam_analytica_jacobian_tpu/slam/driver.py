@@ -95,10 +95,7 @@ class SLAM:
                           pair_capacity=self.backend.pair_capacity,
                           interpret=self.backend.interpret)
 
-        # frames were cleaned; reload poses exist in frontend.frames
-        class _RecView:
-            pass
-
+        # frames were cleaned; poses survive in frontend.frames
         frames = {}
         for idx in range(len(self.dataset)):
             if idx in self.frontend.frames:

@@ -167,6 +167,11 @@ class FrontEnd:
         rec.R, rec.t = np.asarray(R), np.asarray(t)
         rec.exposure_a, rec.exposure_b = float(ea), float(eb)
         self.median_depth = float(med)
+        ov = int(out.overflow) if out.overflow is not None else 0
+        if ov > 0:
+            Log(f"render pair overflow: {ov} pairs dropped "
+                f"(pair_capacity={self.pair_capacity}) — raise "
+                f"Training.pair_capacity", tag="Frontend")
         return out, int(iters)
 
     # ------------------------------------------------------------------

@@ -316,3 +316,51 @@ def color_refinement_step(
     loss_val, g = jax.value_and_grad(loss_fn)(params)
     new_gm, new_adam = adam_update(gm, g, gm_adam, gm_lrs)
     return new_gm, new_adam, loss_val
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pair_capacity", "interpret", "use_oracle"))
+def color_refinement_steps(
+    gm: GaussianMap,
+    gm_adam: AdamState,
+    store: KFStore,
+    idxs: jnp.ndarray,             # (T,) int32 keyframe slot per iteration
+    xyz_lrs: jnp.ndarray,          # (T,) scheduled xyz learning rates
+    cam_template: Camera,
+    bg: jnp.ndarray,
+    gm_lrs,
+    lambda_dssim: float = 0.2,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+):
+    """T color-refinement iterations in ONE device program (lax.scan) —
+    the reference runs 26000 host-dispatched steps (slam_backend.py:320-353);
+    here a whole batch is one XLA execution, like mapping_steps."""
+
+    def body(carry, xs):
+        gm_c, adam_c = carry
+        idx, xyz_lr = xs
+
+        def loss_fn(params):
+            gm_p = gm_c.replace(**params)
+            cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
+            out = render(gm_p, cam, None, bg, pair_capacity=pair_capacity,
+                         interpret=interpret, use_oracle=use_oracle,
+                         need_n_touched=False)
+            L1 = losses.l1_loss(out.color, store.gt_image[idx])
+            return ((1.0 - lambda_dssim) * L1
+                    + lambda_dssim * (1.0 - losses.ssim(
+                        out.color, store.gt_image[idx])))
+
+        params = {f: getattr(gm_c, f) for f in PARAM_FIELDS}
+        loss_val, g = jax.value_and_grad(loss_fn)(params)
+        lrs = dict(gm_lrs)
+        lrs["xyz"] = xyz_lr
+        new_gm, new_adam = adam_update(gm_c, g, adam_c, lrs)
+        return (new_gm, new_adam), loss_val
+
+    (gm_f, adam_f), losses_t = jax.lax.scan(body, (gm, gm_adam),
+                                            (idxs, xyz_lrs))
+    return gm_f, adam_f, losses_t[-1]

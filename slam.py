@@ -12,6 +12,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# Persistent compile cache: renderer/tracking/mapping programs take 1-3 min
+# each to compile on TPU; the second run of the same config skips them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("GS_SLAM_COMPILE_CACHE",
+                                 "/tmp/jax_cache_gsslam_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from gs_slam_analytica_jacobian_tpu.utils.config import load_config
 from gs_slam_analytica_jacobian_tpu.utils.logging import Log
 
