@@ -234,13 +234,12 @@ def make_backward_kernel(n_tx, W, H):
         t16y = jnp.floor(py / 16.0)
 
         fwd = fwd_ref[:, :, :].reshape(6, P)
-        C_total = fwd[0:3]                                    # (3, P)
-        D_total = fwd[3:4]
         T_final = fwd[4:5]
         cot = cot_ref[:, :, :].reshape(5, P)
-        dC = cot[0:3]
-        dD = cot[3:4]
         dT = cot[4:5]
+        dCD = cot[0:4]                                        # (4, P)
+        # Stot = sum_ch dC_ch * C_total_ch + dD * D_total  (per-pixel)
+        Stot = jnp.sum(dCD * fwd[0:4], axis=0, keepdims=True)  # (1, P)
 
         n_chunks = (n + K - 1) // K
 
@@ -255,7 +254,7 @@ def make_backward_kernel(n_tx, W, H):
             dma_in(0).start()
 
         def body(state):
-            c, (T_carry, done, pref_c, pref_d) = state
+            c, (T_carry, done, prefA) = state
 
             @pl.when(c + 1 < n_chunks)
             def _():
@@ -278,32 +277,27 @@ def make_backward_kernel(n_tx, W, H):
             include = live & ~term
             w = jnp.where(include, alpha, 0.0) * T_excl       # (K, P)
 
-            colors = feat[:, 6:9]                             # (K, 3)
-            depths = feat[:, 9:10]                            # (K, 1)
+            cfeat = feat[:, 6:10]                             # (K, 4) rgb+d
 
-            # dL/dalpha: forward-order prefix sums replace the CUDA
-            # back-to-front re-traversal (backward.cu:705-830)
+            # dL/dalpha via the LINEARITY of the per-channel prefix sums:
+            # the CUDA back-to-front accumulators (backward.cu:705-830)
+            # collapse into A = sum_ch cot_ch * chan_ch — one MXU matmul —
+            # and ONE forward-order scan of w*A (instead of four):
+            #   dLda = A*T_excl - inv_om*(dT*T_final + Stot - prefix(w*A))
+            A = jax.lax.dot_general(
+                cfeat, dCD, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                   # (K, P)
+            pA = _scan_add(w * A) + prefA                     # (K, P) incl.
             inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-6)
-            dLda = dD * depths * T_excl + dT * (-T_final * inv_om)
-            new_pref_c = []
-            for ch in range(3):
-                pc_ch = _scan_add(w * colors[:, ch:ch + 1]) \
-                    + pref_c[ch:ch + 1]                       # (K, P)
-                S_after = C_total[ch:ch + 1] - pc_ch
-                dLda = dLda + dC[ch:ch + 1] * (
-                    colors[:, ch:ch + 1] * T_excl - S_after * inv_om)
-                new_pref_c.append(pc_ch[-1:])
-            pd_in = _scan_add(w * depths) + pref_d
-            dLda = dLda - dD * (D_total - pd_in) * inv_om
+            dLda = A * T_excl - inv_om * (dT * T_final + Stot - pA)
             dLda = jnp.where(include, dLda, 0.0)              # (K, P)
 
-            # color/depth grads: sum_p w * cotangent (MXU)
-            d_colors = jax.lax.dot_general(
-                w, jnp.transpose(dC), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                   # (K, 3)
-            d_depths = jax.lax.dot_general(
-                w, jnp.transpose(dD), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                   # (K, 1)
+            # color/depth grads in one MXU matmul: (K,P)@(P,4)
+            d_cd = jax.lax.dot_general(
+                w, dCD, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # (K, 4)
+            d_colors = d_cd[:, 0:3]
+            d_depths = d_cd[:, 3:4]
 
             # alpha = opa * G; grads flow through the unclamped value
             opa = feat[:, 5:6]
@@ -343,19 +337,17 @@ def make_backward_kernel(n_tx, W, H):
             new_done = jnp.maximum(
                 done,
                 jnp.max((live & term).astype(f32), axis=0, keepdims=True))
-            return c + 1, (new_T, new_done,
-                           jnp.concatenate(new_pref_c, axis=0), pd_in[-1:])
+            return c + 1, (new_T, new_done, pA[-1:])
 
         T0 = jnp.ones((1, P), f32)
         done0 = jnp.where(pix_in, 0.0, 1.0).astype(f32)
-        pc0 = jnp.zeros((3, P), f32)
-        pd0 = jnp.zeros((1, P), f32)
+        pA0 = jnp.zeros((1, P), f32)
 
         def cond(state):
-            c, (_, done, _, _) = state
+            c, (_, done, _) = state
             return (c < n_chunks) & (jnp.min(done) < 0.5)
 
-        c_end, _ = jax.lax.while_loop(cond, body, (0, (T0, done0, pc0, pd0)))
+        c_end, _ = jax.lax.while_loop(cond, body, (0, (T0, done0, pA0)))
 
         @pl.when(c_end < n_chunks)
         def _():

@@ -192,7 +192,21 @@ class BackEnd:
 
     def _run_batch(self, window_uids, randoms_per_iter, frames_to_optimize,
                    initialization):
-        """Run a batch of map iterations as ONE device program."""
+        """Run a batch of map iterations as device programs. Batches are
+        decomposed into power-of-2 chunks so mapping_steps only ever
+        compiles for log-many scan lengths instead of one program per
+        distinct iteration count."""
+        out = None
+        rest = randoms_per_iter
+        while rest:
+            T = 1 << (len(rest).bit_length() - 1)   # largest pow2 <= len
+            out = self._run_batch_exact(window_uids, rest[:T],
+                                        frames_to_optimize, initialization)
+            rest = rest[T:]
+        return out
+
+    def _run_batch_exact(self, window_uids, randoms_per_iter,
+                         frames_to_optimize, initialization):
         T = len(randoms_per_iter)
         rows = []
         valid = opt_pose = opt_exp = None
@@ -373,6 +387,7 @@ class BackEnd:
         it = 0
         while it < iteration_total:
             T = min(batch, iteration_total - it)
+            T = 1 << (T.bit_length() - 1)   # pow2 chunks: few compiles
             idxs = jnp.asarray(
                 [slots[self._py_rng.randint(0, len(slots) - 1)]
                  for _ in range(T)], jnp.int32)

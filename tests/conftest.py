@@ -6,27 +6,39 @@ no dependency on the (single) TPU chip being reachable.
 
 import os
 
-# Force-set (the container env pins JAX_PLATFORMS=axon for the real chip).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Real-TPU lane: GS_SLAM_TPU_TESTS=1 pytest -m tpu  keeps the chip backend
+# so tests marked `tpu` exercise the actual Mosaic lowering (the round-1
+# kernel fault shipped because kernels were only ever tested in CPU
+# interpret mode).
+TPU_LANE = os.environ.get("GS_SLAM_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    # Force-set (the container env pins JAX_PLATFORMS=axon for the chip).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon sitecustomize imports jax and pins the TPU platform before
-# conftest runs, so the env var alone is not enough — force via config.
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsslam")
+if not TPU_LANE:
+    # The axon sitecustomize imports jax and pins the TPU platform before
+    # conftest runs, so the env var alone is not enough — force via config.
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsslam")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_gsslam_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not TPU_LANE:
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
