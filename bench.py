@@ -75,12 +75,17 @@ def main():
     R0 = jnp.asarray(T0[:3, :3], jnp.float32)
     t0 = jnp.asarray(T0[:3, 3], jnp.float32)
 
+    tracker = os.environ.get("BENCH_TRACKER", "gn")
+    track_fn = (tracking.track_frame_gn if tracker == "gn"
+                else tracking.track_frame)
+    max_iters = 20 if tracker == "gn" else 100
+
     def run_once(t_start):
-        return tracking.track_frame(
+        return track_fn(
             gm, cam, R0, t_start,
             gt_image, gt_depth, grad_mask, bg,
             lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
-            max_iters=100, pair_capacity=PAIR_CAP)
+            max_iters=max_iters, pair_capacity=PAIR_CAP)
 
     def sync(x):
         return float(jnp.sum(x.ravel()[:1]))
@@ -113,6 +118,9 @@ def main():
             "ms_per_iter": round(dt * 1000 / max(iters, 1), 3),
             "pair_capacity": PAIR_CAP,
             "gt_render_overflow": overflow,
+            "tracker": tracker,
+            "final_pose_err_m": round(float(
+                np.linalg.norm(np.asarray(res[1]))), 6),
         },
     }))
 

@@ -72,6 +72,10 @@ class FrontEnd:
         self.lr_trans = T["lr"]["cam_trans_delta"]
         self.pair_capacity = T.get("pair_capacity", 1 << 20)
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
+        # "gn" = IRLS Gauss-Newton on the analytic pose Jacobian
+        # (~10 iters/frame); "adam" = the reference's Adam loop
+        # (slam_frontend.py:132-162, up to tracking_itr_num iters).
+        self.tracker = T.get("tracker", "gn")
         self.dataset_type = config["Dataset"]["type"]
 
         self.initialized = not self.monocular
@@ -154,14 +158,18 @@ class FrontEnd:
         gt_depth = (np.zeros((1,) + rec.gt_image.shape[1:], np.float32)
                     if rec.gt_depth is None else
                     np.asarray(rec.gt_depth, np.float32)[None])
-        (R, t, ea, eb, iters, out, med) = tracking.track_frame(
+        track_fn = (tracking.track_frame_gn if self.tracker == "gn"
+                    else tracking.track_frame)
+        max_iters = (min(self.tracking_itr_num, 20)
+                     if self.tracker == "gn" else self.tracking_itr_num)
+        (R, t, ea, eb, iters, out, med) = track_fn(
             self.gm, self.cam,
             jnp.asarray(prev.R), jnp.asarray(prev.t),
             jnp.asarray(rec.gt_image), jnp.asarray(gt_depth),
             jnp.asarray(rec.grad_mask), self.bg,
             self.lr_rot, self.lr_trans, self.rgb_boundary_threshold,
             alpha=self.alpha, monocular=self.monocular,
-            max_iters=self.tracking_itr_num,
+            max_iters=max_iters,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle)
         rec.R, rec.t = np.asarray(R), np.asarray(t)
