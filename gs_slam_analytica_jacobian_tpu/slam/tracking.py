@@ -244,7 +244,9 @@ def track_frame_gn(
         o = render_at(tau, R0, t0)
         return o.color, o.depth
 
-    colors_p, depths_p = jax.vmap(fd_render)(taus)           # (6,3,H,W)
+    # lax.map (scan), not vmap: Pallas ANY-memspace operands cannot be
+    # batched, and the 6 probes are device-bound anyway.
+    colors_p, depths_p = jax.lax.map(fd_render, taus)        # (6,3,H,W)
     Jc = (colors_p - base_color[None]) / fd_eps              # (6,3,H,W)
     Jd = (depths_p - base_depth[None]) / fd_eps
     # analytic exposure columns at (a,b)=(0,0): d(image)/da = image,
