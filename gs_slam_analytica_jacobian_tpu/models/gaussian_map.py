@@ -390,10 +390,14 @@ def grow(gm: GaussianMap, state: AdamState, new_capacity: int
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, widths, constant_values=fill)
 
+    rot_pad = jnp.concatenate(
+        [gm.rotation,
+         jnp.tile(jnp.asarray([1.0, 0, 0, 0], gm.rotation.dtype),
+                  (pad, 1))], axis=0)  # identity quats, not zeros (NaN-safe)
     gm2 = gm.replace(
         xyz=pad_arr(gm.xyz), features_dc=pad_arr(gm.features_dc),
         features_rest=pad_arr(gm.features_rest), scaling=pad_arr(gm.scaling),
-        rotation=pad_arr(gm.rotation), opacity=pad_arr(gm.opacity),
+        rotation=rot_pad, opacity=pad_arr(gm.opacity),
         active=pad_arr(gm.active, False),
         unique_kfids=pad_arr(gm.unique_kfids),
         n_obs=pad_arr(gm.n_obs), max_radii2d=pad_arr(gm.max_radii2d),

@@ -216,8 +216,11 @@ def preprocess(
         campos = -jax.lax.stop_gradient(w2c_eff[:3, :3].T @ w2c_eff[:3, 3])
         campos_eff = campos + tau[:3].astype(dtype)
         dirs = means3d - campos_eff
-        norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        dirs = dirs / jnp.maximum(norm, 1e-12)
+        # eps inside the sqrt: padded rows can sit exactly at the camera
+        # center; norm's gradient at 0 is NaN and would leak into dL/dtau
+        norm = jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+                        + 1e-24)
+        dirs = dirs / norm
         color = sh_ops.sh_to_color(sh_degree, shs, dirs)
 
     return Preprocessed(

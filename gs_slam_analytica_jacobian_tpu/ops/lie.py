@@ -117,8 +117,11 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
     Normalizes first (reference gaussian_splatting/utils/general_utils.py:113-136).
     """
-    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    q = q / jnp.maximum(norm, 1e-12)
+    # eps INSIDE the sqrt: d(sqrt(x))/dx at x=0 is inf, so a zero
+    # quaternion (padded map rows) would emit NaN gradients that poison
+    # dL/dtau through 0*NaN even though the row is masked out downstream
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+    q = q / norm
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return jnp.stack(
         [

