@@ -46,6 +46,7 @@ class SLAM:
         self.backend = BackEnd(config, self.cam, interpret=interpret)
         self.frontend = FrontEnd(config, self.dataset, self.cam,
                                  self.backend, interpret=interpret)
+        self.frontend.save_dir = save_dir
         self.use_threads = not config["Training"].get("single_thread", True)
 
     def run(self, n_frames: Optional[int] = None,
@@ -85,7 +86,25 @@ class SLAM:
             ply.save_ply(self.backend.gm,
                          os.path.join(self.save_dir, "point_cloud",
                                       "final", "point_cloud.ply"))
+            self._save_renders()
         return results
+
+    def _save_renders(self, n_orbit: int = 6):
+        """Headless visualization dump: per-keyframe snapshots + a free-
+        camera orbit (the GUI's role, reference gui/slam_gui.py:540-571)."""
+        from ..gui.headless import HeadlessViewer
+
+        viewer = HeadlessViewer(
+            os.path.join(self.save_dir, "renders"), self.cam,
+            pair_capacity=self.backend.pair_capacity,
+            interpret=self.backend.interpret,
+            use_oracle=self.backend.use_oracle)
+        gm = self.backend.gm
+        for uid in self.frontend.kf_indices[-4:]:
+            rec = self.frontend.frames[uid]
+            viewer.snapshot(gm, rec.R, rec.t, tag=f"kf{uid:04d}")
+        viewer.orbit(gm, n_views=n_orbit)
+        Log(f"wrote render snapshots to {viewer.out_dir}", tag="GUI")
 
     def _eval_rendering(self, tag):
         def render_rec(rec):

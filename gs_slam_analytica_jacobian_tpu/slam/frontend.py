@@ -77,6 +77,10 @@ class FrontEnd:
         # (slam_frontend.py:132-162, up to tracking_itr_num iters).
         self.tracker = T.get("tracker", "gn")
         self.dataset_type = config["Dataset"]["type"]
+        res = config.get("Results", {})
+        self.save_dir = None               # set by the SLAM driver
+        self.save_trj = res.get("save_trj", False)
+        self.save_trj_kf_intv = res.get("save_trj_kf_intv", 10)
 
         self.initialized = not self.monocular
         self.frames: Dict[int, FrameRecord] = {}
@@ -342,6 +346,14 @@ class FrontEnd:
                 idx, depth=out.depth, opacity=out.opacity)
             self.backend_request_keyframe(
                 idx, rec, self.current_window, depth_map)
+            # interim trajectory eval every save_trj_kf_intv keyframes
+            # (reference slam_frontend.py:461-474)
+            if (self.save_trj and self.save_dir is not None
+                    and len(self.kf_indices) % self.save_trj_kf_intv == 0):
+                from ..utils import eval as eval_utils
+                eval_utils.eval_ate(
+                    self.frames, self.kf_indices, self.save_dir,
+                    iterations=idx, monocular=self.monocular)
         else:
             self.cleanup(idx)
         return dict(keyframe=create_kf, iters=iters)

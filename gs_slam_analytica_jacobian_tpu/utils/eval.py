@@ -54,10 +54,35 @@ def ate_rmse(traj_est: List[np.ndarray], traj_gt: List[np.ndarray],
     return float(np.sqrt(np.mean(err ** 2)))
 
 
+def _plot_trajectory(trj_est, trj_gt, ate, path):
+    """Top-down (x-z) trajectory plot, the role of evo's plot dump
+    (reference eval_utils.py:42-63)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover - matplotlib is baked in
+        return
+    est = np.stack([T[:3, 3] for T in trj_est])
+    gt = np.stack([T[:3, 3] for T in trj_gt])
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot(gt[:, 0], gt[:, 2], "k--", label="ground truth")
+    ax.plot(est[:, 0], est[:, 2], "b-", marker="o", ms=3,
+            label="estimate")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_title(f"ATE RMSE {ate * 100:.2f} cm")
+    ax.legend()
+    ax.set_aspect("equal", adjustable="datalim")
+    fig.savefig(path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+
+
 def eval_ate(frames: Dict[int, object], kf_ids: List[int], save_dir=None,
              iterations: int = 0, final: bool = False,
              monocular: bool = False, correct_scale=None) -> float:
-    """reference eval_ate (eval_utils.py:68-113): keyframe-trajectory APE."""
+    """reference eval_ate (eval_utils.py:68-113): keyframe-trajectory APE,
+    with trajectory JSON + plot dumps under save_dir/plot/."""
     trj_est, trj_gt = [], []
 
     def c2w(R, t):
@@ -74,10 +99,20 @@ def eval_ate(frames: Dict[int, object], kf_ids: List[int], save_dir=None,
     ate = ate_rmse(trj_est, trj_gt, align_scale=correct_scale)
     Log(f"ATE RMSE [m]: {ate:.6f} ({len(kf_ids)} keyframes)", tag="Eval")
     if save_dir is not None:
-        os.makedirs(save_dir, exist_ok=True)
         label = "final" if final else str(iterations)
+        plot_dir = os.path.join(save_dir, "plot")
+        os.makedirs(plot_dir, exist_ok=True)
         with open(os.path.join(save_dir, f"ate_{label}.json"), "w") as f:
             json.dump(dict(ate_rmse=ate, n_kf=len(kf_ids)), f)
+        # trajectory dump (reference writes trj_final.json via
+        # eval_utils.py:42-63)
+        with open(os.path.join(plot_dir, f"trj_{label}.json"), "w") as f:
+            json.dump(dict(
+                trj_id=list(map(int, kf_ids)),
+                trj_est=[T.tolist() for T in trj_est],
+                trj_gt=[T.tolist() for T in trj_gt]), f)
+        _plot_trajectory(trj_est, trj_gt, ate,
+                         os.path.join(plot_dir, f"trj_{label}.png"))
     return ate
 
 
@@ -102,11 +137,22 @@ def eval_rendering(frames, kf_ids, dataset, render_fn, save_dir=None,
     result = dict(
         mean_psnr=float(np.mean(psnrs)) if psnrs else float("nan"),
         mean_ssim=float(np.mean(ssims)) if ssims else float("nan"),
+        # LPIPS requires pretrained AlexNet weights; this environment has
+        # no torchvision/torchmetrics and no network egress, so the metric
+        # is reported as null rather than silently dropped
+        mean_lpips=None,
+        lpips_note="unavailable: no pretrained AlexNet weights "
+                   "(zero-egress environment)",
         n_frames=len(psnrs))
     Log(f"PSNR: {result['mean_psnr']:.3f}  SSIM: {result['mean_ssim']:.4f} "
         f"({result['n_frames']} frames)", tag="Eval")
     if save_dir is not None:
-        os.makedirs(save_dir, exist_ok=True)
+        # per-iteration psnr dir, like the reference's save_dir/psnr/
+        # (eval_utils.py:172-179)
+        psnr_dir = os.path.join(save_dir, "psnr", str(iteration))
+        os.makedirs(psnr_dir, exist_ok=True)
+        with open(os.path.join(psnr_dir, "final_result.json"), "w") as f:
+            json.dump(result, f)
         with open(os.path.join(save_dir, f"render_{iteration}.json"),
                   "w") as f:
             json.dump(result, f)

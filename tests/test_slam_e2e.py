@@ -43,6 +43,14 @@ def small_config(single_thread=True):
     T["pose_window"] = 2
     T["initial_capacity"] = 8192
     T["monocular"] = cfg["Dataset"]["sensor_type"] == "monocular"
+    # keyframe thresholds scaled to the reduced motion (is_keyframe gates
+    # on kf_translation * median_depth ~ 2.5 m)
+    T["kf_translation"] = 0.01
+    T["kf_min_translation"] = 0.005
+    # the synthetic wall keeps covisibility ~1.0 from every viewpoint, so
+    # the overlap gate would never fire; 1.0 lets the translation gate
+    # drive keyframing
+    T["kf_overlap"] = 1.0
     # keep densification tame: the tiny scene would otherwise explode past
     # the initial capacity and trigger mid-run grow() recompiles
     cfg["opt_params"]["densify_grad_threshold"] = 0.01
