@@ -354,6 +354,89 @@ class SyntheticDataset(MonocularDataset):
         return np.clip(img, 0, 1), depth, w2c
 
 
+class RealsenseDataset(BaseDataset):
+    """Live Intel RealSense capture (reference dataset.py:429-519).
+
+    Streams 1280x720 color (+ aligned depth when sensor_type == 'depth'),
+    reads intrinsics/distortion from the device, locks auto-exposure /
+    auto-white-balance (exposure 200, like the reference), undistorts via
+    cv2 rectify maps and returns (image[3HW float], depth|None, eye-pose).
+
+    ``pipeline_factory`` injects a fake rs-like pipeline for tests; the
+    default imports pyrealsense2 (hardware required).
+    """
+
+    def __init__(self, config, pipeline_factory=None):
+        super().__init__(config)
+        sensor_type = config["Dataset"].get("sensor_type", "monocular")
+        self.has_depth = sensor_type == "depth"
+        self.num_imgs = config["Dataset"].get(
+            "n_frames", 1_000_000)        # live stream: effectively endless
+        self.w, self.h = 1280, 720
+
+        if pipeline_factory is None:
+            import pyrealsense2 as rs   # hardware-gated import
+
+            self.rs = rs
+            self.pipeline = rs.pipeline()
+            rs_config = rs.config()
+            rs_config.enable_stream(rs.stream.color, self.w, self.h,
+                                    rs.format.bgr8, 30)
+            if self.has_depth:
+                rs_config.enable_stream(rs.stream.depth)
+            self.profile = self.pipeline.start(rs_config)
+            if self.has_depth:
+                self.align = rs.align(rs.stream.color)
+                depth_sensor = self.profile.get_device() \
+                                           .first_depth_sensor()
+                self.depth_scale = depth_sensor.get_depth_scale()
+            rgb_sensor = self.profile.get_device().query_sensors()[1]
+            rgb_sensor.set_option(rs.option.enable_auto_exposure, False)
+            rgb_sensor.set_option(rs.option.enable_auto_white_balance,
+                                  False)
+            rgb_sensor.set_option(rs.option.exposure, 200)
+            intr = rs.video_stream_profile(
+                self.profile.get_stream(rs.stream.color)).get_intrinsics()
+            self.fx, self.fy = intr.fx, intr.fy
+            self.cx, self.cy = intr.ppx, intr.ppy
+            self.width, self.height = intr.width, intr.height
+            self.dist_coeffs = np.asarray(intr.coeffs)
+        else:
+            # injected fake: (get_frames, intrinsics_dict)
+            self.pipeline, intr = pipeline_factory()
+            self.fx, self.fy = intr["fx"], intr["fy"]
+            self.cx, self.cy = intr["cx"], intr["cy"]
+            self.width, self.height = intr["width"], intr["height"]
+            self.dist_coeffs = np.asarray(intr.get("coeffs", np.zeros(5)))
+            self.depth_scale = intr.get("depth_scale", 1.0)
+
+        self.fovx = focal2fov(self.fx, self.width)
+        self.fovy = focal2fov(self.fy, self.height)
+        self.K = np.array([[self.fx, 0, self.cx], [0, self.fy, self.cy],
+                           [0, 0, 1.0]])
+        self.disorted = bool(np.any(self.dist_coeffs != 0))
+        if self.disorted and cv2 is not None:
+            self.map1x, self.map1y = cv2.initUndistortRectifyMap(
+                self.K, self.dist_coeffs, np.eye(3), self.K,
+                (self.width, self.height), cv2.CV_32FC1)
+
+    def __len__(self):
+        return self.num_imgs
+
+    def __getitem__(self, idx):
+        pose = np.eye(4, dtype=np.float32)   # live: no gt trajectory
+        image, depth = self.pipeline.get_frames(self.has_depth)
+        if depth is not None:
+            depth = np.asarray(depth, np.float32) * self.depth_scale
+            depth[depth < 0] = 0
+            depth = np.nan_to_num(depth, nan=1000.0)
+        if self.disorted and cv2 is not None:
+            image = cv2.remap(image, self.map1x, self.map1y,
+                              cv2.INTER_LINEAR)
+        img = np.clip(np.asarray(image, np.float32) / 255.0, 0, 1)
+        return np.transpose(img, (2, 0, 1)), depth, pose
+
+
 def load_dataset(config: dict):
     t = config["Dataset"]["type"]
     if t == "tum":
@@ -364,4 +447,6 @@ def load_dataset(config: dict):
         return EurocDataset(config)
     if t == "synthetic":
         return SyntheticDataset(config)
+    if t == "realsense":
+        return RealsenseDataset(config)
     raise ValueError(f"Unknown dataset type {t}")

@@ -1,0 +1,110 @@
+"""Capability tests that need no hardware/data: the RealSense dataset with
+an injected fake pipeline, the live configs, and reference-.pt ingestion."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class FakePipeline:
+    def __init__(self, H=48, W=64):
+        self.H, self.W = H, W
+        self.n = 0
+
+    def get_frames(self, with_depth):
+        self.n += 1
+        img = np.full((self.H, self.W, 3), 10 * self.n, np.uint8)
+        depth = (np.ones((self.H, self.W), np.float32) * 2000
+                 if with_depth else None)
+        return img, depth
+
+
+def fake_factory(H=48, W=64):
+    intr = dict(fx=40.0, fy=40.0, cx=(W - 1) / 2, cy=(H - 1) / 2,
+                width=W, height=H, coeffs=np.zeros(5),
+                depth_scale=0.001)
+    return lambda: (FakePipeline(H, W), intr)
+
+
+def test_realsense_dataset_fake_pipeline():
+    from gs_slam_analytica_jacobian_tpu.utils.datasets import (
+        RealsenseDataset)
+
+    cfg = {"Dataset": {"type": "realsense", "sensor_type": "depth",
+                       "n_frames": 5}}
+    ds = RealsenseDataset(cfg, pipeline_factory=fake_factory())
+    assert len(ds) == 5
+    img, depth, pose = ds[0]
+    assert img.shape == (3, 48, 64)
+    assert img.dtype == np.float32 and img.max() <= 1.0
+    assert depth.shape == (48, 64)
+    np.testing.assert_allclose(depth, 2.0)          # 2000 * scale 0.001
+    np.testing.assert_array_equal(pose, np.eye(4))
+
+    cfg_mono = {"Dataset": {"type": "realsense",
+                            "sensor_type": "monocular"}}
+    ds2 = RealsenseDataset(cfg_mono, pipeline_factory=fake_factory())
+    img, depth, _ = ds2[0]
+    assert depth is None
+
+
+def test_live_configs_load():
+    from gs_slam_analytica_jacobian_tpu.utils.config import load_config
+
+    for name in ("configs/live/realsense.yaml",
+                 "configs/live/realsense_rgbd.yaml"):
+        cfg = load_config(name)
+        assert cfg["Dataset"]["type"] == "realsense"
+        assert "tracking_itr_num" in cfg["Training"]
+    rgbd = load_config("configs/live/realsense_rgbd.yaml")
+    assert rgbd["Dataset"]["sensor_type"] == "depth"
+
+
+def test_pt_checkpoint_roundtrip(tmp_path):
+    """Write a TorchScript module with the reference's parameter layout
+    (gaussian_model.py:70-138), ingest via checkpoints.load_tensors, and
+    check the GaussianMap + the npz converter."""
+    torch = pytest.importorskip("torch")
+    from gs_slam_analytica_jacobian_tpu.utils import checkpoints
+
+    n = 17
+    rng = np.random.default_rng(0)
+    arrays = dict(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        features_rest=rng.normal(size=(n, 15, 3)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+    )
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # registration order == reference load_tensors order
+            for k in ("xyz", "features_dc", "features_rest", "opacity",
+                      "scaling", "rotation"):
+                setattr(self, k, torch.nn.Parameter(
+                    torch.from_numpy(arrays[k])))
+
+        def forward(self):
+            return self.xyz
+
+    path = str(tmp_path / "optimized_params_small.pt")
+    torch.jit.save(torch.jit.script(M()), path)
+
+    gm = checkpoints.load_tensors(path)
+    assert int(gm.num_active()) == n
+    assert gm.max_sh_degree == 3          # 15 rest coeffs -> degree 3
+    np.testing.assert_allclose(np.asarray(gm.xyz)[:n], arrays["xyz"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gm.rotation)[:n],
+                               arrays["rotation"], rtol=1e-6)
+
+    npz = checkpoints.pt_to_npz(path)
+    gm2 = checkpoints.load_tensors(npz)
+    np.testing.assert_allclose(np.asarray(gm2.xyz), np.asarray(gm.xyz))
