@@ -20,8 +20,10 @@ Two scaling modes for image-plane units:
   jax autodiff of the forward in tests);
 - ``reference`` — the reference lab's own rescale, diag(2fx/W, 2fy/H) for
   the mean and (K (x) K) with K=diag(fx,fy) for the covariance
-  (Loss_Derivative_script_compare.py:723-755), needed to reproduce
-  Jacob_test_result/dL_dtau.npy bit-for-bit.
+  (Loss_Derivative_script_compare.py:723-755). Same unit conventions as
+  Jacob_test_result/dL_dtau.npy; the reference's raw inputs (.pt map,
+  NOCS frames) are not shipped, so the committed goldens are generated
+  from this repo's synthetic 15-gaussian fixture at fp32 tolerance.
 """
 
 from __future__ import annotations

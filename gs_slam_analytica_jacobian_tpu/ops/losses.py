@@ -49,13 +49,8 @@ def image_gradient_mask(image: jnp.ndarray, eps: float = 0.01):
     """3x3 all-valid mask of |img|>eps (reference slam_utils.py:24-38)."""
     ones = jnp.ones((3, 3))
     p = (jnp.abs(image) > eps).astype(image.dtype)
-    s_v = _conv2d_same_reflect_nopad(p, ones)
+    s_v = _conv2d_same_reflect(p, ones)
     return s_v == 9.0, s_v == 9.0
-
-
-def _conv2d_same_reflect_nopad(img, kernel):
-    # the reference pads with reflect then convs VALID — same as above
-    return _conv2d_same_reflect(img, kernel)
 
 
 def compute_grad_mask(gray: jnp.ndarray, edge_threshold: float,

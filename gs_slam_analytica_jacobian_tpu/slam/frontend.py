@@ -301,6 +301,8 @@ class FrontEnd:
     def process_frame(self, idx: int):
         """One step of the reference run() loop (slam_frontend.py:332-480),
         single-thread semantics. Returns dict with step info."""
+        import time as _time
+        tic = _time.time()
         if self.link is not None:
             self.link.drain(self)
 
@@ -354,6 +356,13 @@ class FrontEnd:
                 eval_utils.eval_ate(
                     self.frames, self.kf_indices, self.save_dir,
                     iterations=idx, monocular=self.monocular)
+            # 3 FPS throttle after keyframe creation so the async backend
+            # can catch up (reference slam_frontend.py:477-480); a no-op
+            # in single-thread mode where the backend ran inline
+            if not self.single_thread:
+                sleep_left = 1.0 / 3.0 - (_time.time() - tic)
+                if sleep_left > 0:
+                    _time.sleep(sleep_left)
         else:
             self.cleanup(idx)
         return dict(keyframe=create_kf, iters=iters)

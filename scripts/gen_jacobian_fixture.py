@@ -82,8 +82,6 @@ def main():
 
     # golden outputs (regression targets, like Jacob_test_result/*.npy)
     sys.path.insert(0, os.path.dirname(path))
-    import importlib
-    jt = importlib.import_module("jacobian_test") if False else None
     from jacobian_test import run, load_fixture
     fix = load_fixture(path)
     res = run(fix, mode="reference", verbose=False)
