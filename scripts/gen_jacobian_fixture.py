@@ -46,12 +46,15 @@ def main():
     w2c_gt = np.eye(4, dtype=np.float32)
     w2c_gt[:3, 3] = [0.02, -0.01, 0.05]
 
-    # T_noise: 10 degree z-rotation + 0.15 m translation
-    # (reference Jacob_test_result/T_noise.txt)
-    th = np.deg2rad(10.0)
-    T_noise = np.eye(4, dtype=np.float32)
-    T_noise[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
-    T_noise[:3, 3] = 0.15
+    # T_noise: the reference's EXACT noise transform — 10 degree
+    # z-rotation + 0.15 m translation on every axis, verbatim from
+    # Jacob_test_result/T_noise.txt
+    c10, s10 = 9.848077530122081313e-01, 1.736481776669303312e-01
+    T_noise = np.array(
+        [[c10, -s10, 0.0, 0.15],
+         [s10, c10, 0.0, 0.15],
+         [0.0, 0.0, 1.0, 0.15],
+         [0.0, 0.0, 0.0, 1.0]], np.float32)
 
     # gt image/depth: render at the GT pose with the oracle (plays the role
     # of the NOCS frame) + a foreground mask
