@@ -116,10 +116,18 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok):
     return a_un, alpha, ok, dx, dy
 
 
-def make_forward_kernel(n_tx, W, H):
-    def kernel(ranges_ref, feat_hbm, ntz_ref, img_ref, ntouch_hbm,
-               feat_vmem, nt_vmem, sem_in, sem_out):
-        del ntz_ref  # aliased into ntouch_hbm (zero-init)
+def make_forward_kernel(n_tx, W, H, with_ntouch=True):
+    """with_ntouch=False drops the per-chunk n_touched DMA round trip —
+    the tracking inner loop never reads it (renderer_tiled.render
+    need_n_touched=False)."""
+
+    def kernel(ranges_ref, feat_hbm, *rest):
+        if with_ntouch:
+            (ntz_ref, img_ref, ntouch_hbm,
+             feat_vmem, nt_vmem, sem_in, sem_out) = rest
+            del ntz_ref  # aliased into ntouch_hbm (zero-init)
+        else:
+            img_ref, feat_vmem, sem_in = rest
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         tile = ty * n_tx + tx
@@ -183,16 +191,18 @@ def make_forward_kernel(n_tx, W, H):
                 done,
                 jnp.max((live & term).astype(f32), axis=0, keepdims=True))
 
-            nt = jnp.sum(
-                jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0),
-                axis=1, keepdims=True)                        # (K, 1)
-            nt_vmem[0:1, :] = jnp.transpose(nt)
-            cp_out = pltpu.make_async_copy(
-                nt_vmem,
-                ntouch_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
-                sem_out)
-            cp_out.start()
-            cp_out.wait()
+            if with_ntouch:
+                nt = jnp.sum(
+                    jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0),
+                    axis=1, keepdims=True)                    # (K, 1)
+                nt_vmem[0:1, :] = jnp.transpose(nt)
+                cp_out = pltpu.make_async_copy(
+                    nt_vmem,
+                    ntouch_hbm.at[:, pl.ds(
+                        pl.multiple_of(start + c * K, K), K)],
+                    sem_out)
+                cp_out.start()
+                cp_out.wait()
             return c + 1, (new_T, new_done, acc)
 
         T0 = jnp.ones((1, P), f32)
@@ -240,6 +250,7 @@ def make_backward_kernel(n_tx, W, H):
         dCD = cot[0:4]                                        # (4, P)
         # Stot = sum_ch dC_ch * C_total_ch + dD * D_total  (per-pixel)
         Stot = jnp.sum(dCD * fwd[0:4], axis=0, keepdims=True)  # (1, P)
+
 
         n_chunks = (n + K - 1) // K
 
@@ -299,7 +310,10 @@ def make_backward_kernel(n_tx, W, H):
             d_colors = d_cd[:, 0:3]
             d_depths = d_cd[:, 3:4]
 
-            # alpha = opa * G; grads flow through the unclamped value
+            # alpha = opa * G; grads flow through the unclamped value.
+            # (A moment-matmul formulation of these five reductions was
+            # tried and measured SLOWER on-chip — 45 vs 42 ms — the VPU
+            # reduce chain wins at this shape.)
             opa = feat[:, 5:6]
             G = jnp.where(include, a_un / jnp.maximum(opa, 1e-12), 0.0)
             dLdG = opa * dLda
@@ -382,42 +396,60 @@ def disassemble_image(img, n_tx, n_ty):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret"))
-def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False):
+    jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret",
+                              "with_ntouch"))
+def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
+              with_ntouch=True):
     B_al = feat.shape[0]
     feat_v = jnp.transpose(feat)                  # (FEAT_DIM, B_al)
-    kernel = make_forward_kernel(n_tx, W, H)
+    kernel = make_forward_kernel(n_tx, W, H, with_ntouch)
+    img_spec = pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
+                            memory_space=pltpu.VMEM)
+    img_shape = jax.ShapeDtypeStruct((6, n_ty * 8, n_tx * 128), jnp.float32)
+    if with_ntouch:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_ty, n_tx),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[img_spec, pl.BlockSpec(memory_space=pl.ANY)],
+            scratch_shapes=[
+                pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
+                pltpu.VMEM((1, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        img, ntouch = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(img_shape,
+                       jax.ShapeDtypeStruct((1, B_al), jnp.float32)),
+            input_output_aliases={2: 1},  # zeros operand -> ntouch output
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(ranges, feat_v, jnp.zeros((1, B_al), jnp.float32))
+        return img, ntouch[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=img_spec,
         scratch_shapes=[
             pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
-            pltpu.VMEM((1, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
-    img, ntouch = pl.pallas_call(
+    img = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((6, n_ty * 8, n_tx * 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, B_al), jnp.float32),
-        ),
-        input_output_aliases={2: 1},   # zeros operand -> ntouch output
+        out_shape=img_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, feat_v, jnp.zeros((1, B_al), jnp.float32))
-    return img, ntouch[0]
+    )(ranges, feat_v)
+    return img, jnp.zeros((B_al,), jnp.float32)
 
 
 @functools.partial(
@@ -458,28 +490,32 @@ def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
     return jnp.transpose(dfeat_v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def composite32(feat, ranges, n_tx, n_ty, W, H,
-                interpret=False) -> Composite2Out:
+                interpret=False, with_ntouch=True) -> Composite2Out:
     """Differentiable 32x32-tiled compositing.
 
     feat: (B_al, FEAT_DIM) aligned pair records; ranges: (n_tiles, 2) i32.
+    with_ntouch=False skips the per-pair touch-count output (zeros).
     """
-    img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret)
+    img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
+                            with_ntouch)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     return Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                          final_T=asm[4], n_touched_pairs=ntouch)
 
 
-def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False):
-    img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret)
+def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False,
+             with_ntouch=True):
+    img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
+                            with_ntouch)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     out = Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                         final_T=asm[4], n_touched_pairs=ntouch)
     return out, (feat, ranges, img)
 
 
-def _c32_bwd(n_tx, n_ty, W, H, interpret, res, cot):
+def _c32_bwd(n_tx, n_ty, W, H, interpret, with_ntouch, res, cot):
     feat, ranges, fwd_img = res
     cot_asm = jnp.concatenate(
         [cot.color_sum, cot.depth_sum[None], cot.final_T[None]], axis=0)

@@ -127,7 +127,7 @@ def render(
     feat = pair_gather(table, plan)
 
     out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
-                      interpret)
+                      interpret, need_n_touched)
 
     color = out.color_sum + out.final_T[None] * bg[:, None, None]
     opacity = 1.0 - out.final_T
