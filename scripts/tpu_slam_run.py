@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Full SLAM end-to-end ON THE REAL TPU: synthetic RGB-D at Replica
+resolution. Validates that the complete system — GN tracking, keyframing,
+seeding, mapping_steps, densify/prune, color refinement — runs on-chip
+(round 1 never executed mapping on real hardware), and reports FPS + ATE.
+
+Usage: python scripts/tpu_slam_run.py [n_frames]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsslam_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from gs_slam_analytica_jacobian_tpu.utils.config import load_config
+from gs_slam_analytica_jacobian_tpu.utils import eval as eval_utils
+
+N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+
+cfg = load_config("configs/synthetic/base.yaml")
+cal = cfg["Dataset"]["Calibration"]
+cal["width"], cal["height"] = 1216, 672     # Replica-scale, tile-aligned
+cal["fx"] = cal["fy"] = 600.0
+cal["cx"], cal["cy"] = 607.5, 335.5
+cfg["Dataset"]["n_frames"] = N_FRAMES
+cfg["Dataset"]["motion_scale"] = 0.5
+cfg["Dataset"]["pcd_downsample_init"] = 16
+cfg["Dataset"]["pcd_downsample"] = 64
+T = cfg["Training"]
+T["monocular"] = False
+T["single_thread"] = True
+cfg["Dataset"]["single_thread"] = True
+T["initial_capacity"] = 1 << 17
+T["pair_capacity"] = 1 << 20
+# pow2 budgets: few distinct mapping_steps compiles
+T["init_itr_num"] = 128
+T["init_gaussian_update"] = 64
+T["init_gaussian_reset"] = 5000
+T["tracking_itr_num"] = 20
+T["mapping_itr_num"] = 32
+T["gaussian_update_every"] = 64
+T["gaussian_update_offset"] = 32
+T["window_size"] = 6
+T["pose_window"] = 3
+T["kf_translation"] = 0.01
+T["kf_min_translation"] = 0.005
+T["kf_overlap"] = 1.0
+cfg["opt_params"]["densify_grad_threshold"] = 0.01
+cfg["Results"]["save_results"] = False
+
+from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+
+print("devices:", jax.devices(), flush=True)
+slam = SLAM(cfg)
+t0 = time.time()
+for idx in range(N_FRAMES):
+    t1 = time.time()
+    info = slam.frontend.process_frame(idx)
+    rec = slam.frontend.frames[idx]
+    terr = float(np.linalg.norm(rec.t - rec.t_gt))
+    print(f"frame {idx}: {time.time()-t1:6.1f}s kf={info.get('keyframe')} "
+          f"iters={info.get('iters')} terr={terr:.4f}", flush=True)
+wall = time.time() - t0
+ate = eval_utils.eval_ate(slam.frontend.frames, slam.frontend.kf_indices,
+                          None, final=True, monocular=False)
+print(f"DONE: {N_FRAMES} frames in {wall:.1f}s "
+      f"({N_FRAMES/wall:.3f} FPS incl. compile), ATE {ate:.4f} m, "
+      f"active {int(slam.backend.gm.num_active())}", flush=True)
+
+# steady-state re-run (compiles cached): honest wall-clock FPS
+slam2 = SLAM(cfg)
+t0 = time.time()
+for idx in range(N_FRAMES):
+    slam2.frontend.process_frame(idx)
+wall2 = time.time() - t0
+ate2 = eval_utils.eval_ate(slam2.frontend.frames, slam2.frontend.kf_indices,
+                           None, final=True, monocular=False)
+print(f"STEADY: {N_FRAMES} frames in {wall2:.1f}s "
+      f"({N_FRAMES/wall2:.3f} FPS), ATE {ate2:.4f} m", flush=True)

@@ -108,3 +108,52 @@ def test_pt_checkpoint_roundtrip(tmp_path):
     npz = checkpoints.pt_to_npz(path)
     gm2 = checkpoints.load_tensors(npz)
     np.testing.assert_allclose(np.asarray(gm2.xyz), np.asarray(gm.xyz))
+
+
+def test_state_checkpoint_roundtrip(tmp_path, rng):
+    """Mid-run SLAM state save/resume (exceeds the reference, which only
+    writes final PLYs): backend state round-trips through one .npz."""
+    import jax.numpy as jnp
+    from gs_slam_analytica_jacobian_tpu.models import gaussian_map as gmap
+    from gs_slam_analytica_jacobian_tpu.slam.mapping import (
+        KFStore, PoseAdamState)
+    from gs_slam_analytica_jacobian_tpu.utils import state_io
+
+    n, C = 40, 64
+    gm = gmap.from_numpy(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        features_rest=rng.normal(size=(n, 3, 3)).astype(np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        max_sh_degree=1, capacity=C)
+    adam = gmap.adam_init(gm)
+    adam = gmap.AdamState(
+        m={k: v + 0.5 for k, v in adam.m.items()},
+        v={k: v + 0.25 for k, v in adam.v.items()},
+        step=jnp.asarray(7, jnp.int32))
+    store = KFStore.empty(4, 8, 12).add(
+        0, jnp.eye(3), jnp.ones(3), 0.1, -0.2,
+        jnp.ones((3, 8, 12)) * 0.5, jnp.ones((1, 8, 12)), 3)
+    pose_adam = PoseAdamState(jnp.ones((6, 8)), jnp.ones((6, 8)) * 2,
+                              jnp.asarray(5, jnp.int32))
+
+    path = str(tmp_path / "state.npz")
+    state_io.save_state(path, gm, adam, store, pose_adam,
+                        meta=dict(frame=17))
+    gm2, adam2, store2, pose2, meta = state_io.load_state(path)
+
+    assert meta["frame"] == 17
+    assert gm2.max_sh_degree == 1
+    np.testing.assert_array_equal(np.asarray(gm2.xyz), np.asarray(gm.xyz))
+    np.testing.assert_array_equal(np.asarray(gm2.active),
+                                  np.asarray(gm.active))
+    np.testing.assert_array_equal(np.asarray(adam2.m["xyz"]),
+                                  np.asarray(adam.m["xyz"]))
+    assert int(adam2.step) == 7
+    np.testing.assert_array_equal(np.asarray(store2.gt_image),
+                                  np.asarray(store.gt_image))
+    assert int(store2.uid[0]) == 3
+    np.testing.assert_array_equal(np.asarray(pose2.v),
+                                  np.asarray(pose_adam.v))
