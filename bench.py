@@ -75,10 +75,11 @@ def main():
     R0 = jnp.asarray(T0[:3, :3], jnp.float32)
     t0 = jnp.asarray(T0[:3, 3], jnp.float32)
 
-    tracker = os.environ.get("BENCH_TRACKER", "gn")
-    track_fn = (tracking.track_frame_gn if tracker == "gn"
-                else tracking.track_frame)
-    max_iters = 20 if tracker == "gn" else 100
+    tracker = os.environ.get("BENCH_TRACKER", "pyr")
+    track_fn = {"gn": tracking.track_frame_gn,
+                "pyr": tracking.track_frame_pyr,
+                "adam": tracking.track_frame}[tracker]
+    max_iters = 100 if tracker == "adam" else 20
 
     def run_once(t_start):
         return track_fn(

@@ -52,15 +52,16 @@ class PairPlan(NamedTuple):
     overflow: jnp.ndarray     # () int32 pairs dropped for lack of capacity
 
 
-def _rect(mean2d, radius, tile_w, tile_h, n_tx, n_ty):
-    """Coarse rect in Pallas-tile units (getRect, auxiliary.h:46-56)."""
+def _rect(mean2d, rx, ry, tile_w, tile_h, n_tx, n_ty):
+    """Coarse rect in Pallas-tile units (getRect, auxiliary.h:46-56),
+    per-axis tight half-extents (see gaussian_math tight-cull note)."""
     mx = mean2d[:, 0]
     my = mean2d[:, 1]
-    x0 = jnp.clip(((mx - radius) / tile_w).astype(jnp.int32), 0, n_tx)
-    y0 = jnp.clip(((my - radius) / tile_h).astype(jnp.int32), 0, n_ty)
-    x1 = jnp.clip(((mx + radius + tile_w - 1) / tile_w).astype(jnp.int32),
+    x0 = jnp.clip(((mx - rx) / tile_w).astype(jnp.int32), 0, n_tx)
+    y0 = jnp.clip(((my - ry) / tile_h).astype(jnp.int32), 0, n_ty)
+    x1 = jnp.clip(((mx + rx + tile_w - 1) / tile_w).astype(jnp.int32),
                   0, n_tx)
-    y1 = jnp.clip(((my + radius + tile_h - 1) / tile_h).astype(jnp.int32),
+    y1 = jnp.clip(((my + ry + tile_h - 1) / tile_h).astype(jnp.int32),
                   0, n_ty)
     return x0, y0, x1, y1
 
@@ -81,11 +82,14 @@ def plan_pairs(
     n_tiles = n_tx * n_ty
     B_al = capacity + n_tiles * chunk
 
-    radius = jnp.where(prep.valid, prep.radius * radius_scale + radius_pad,
-                       0.0)
-    x0, y0, x1, y1 = _rect(prep.mean2d, radius, tile_w, tile_h, n_tx, n_ty)
+    alive = prep.valid & (prep.radius_xy[:, 0] > 0.0)
+    rx = jnp.where(alive, prep.radius_xy[:, 0] * radius_scale + radius_pad,
+                   0.0)
+    ry = jnp.where(alive, prep.radius_xy[:, 1] * radius_scale + radius_pad,
+                   0.0)
+    x0, y0, x1, y1 = _rect(prep.mean2d, rx, ry, tile_w, tile_h, n_tx, n_ty)
     w = x1 - x0
-    counts = jnp.where(prep.valid, w * (y1 - y0), 0).astype(jnp.int32)
+    counts = jnp.where(alive, w * (y1 - y0), 0).astype(jnp.int32)
 
     offs = jnp.cumsum(counts)                     # inclusive (N,)
     total = offs[-1]

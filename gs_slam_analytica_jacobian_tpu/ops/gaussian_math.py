@@ -129,6 +129,7 @@ class Preprocessed(NamedTuple):
     opacity: jnp.ndarray     # (N,)
     color: jnp.ndarray       # (N, 3) clamped SH color
     radius: jnp.ndarray      # (N,) float radius in pixels (ceil applied)
+    radius_xy: jnp.ndarray   # (N, 2) per-axis tight cull half-extents (px)
     rect_min: jnp.ndarray    # (N, 2) int32 tile coords (x, y)
     rect_max: jnp.ndarray    # (N, 2) int32 tile coords (exclusive)
     tiles_touched: jnp.ndarray  # (N,) int32
@@ -191,18 +192,38 @@ def preprocess(
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
 
+    # Tight cull half-extents — EXACT-semantics refinement of the CUDA
+    # square rect (auxiliary.h:46-56 uses the isotropic 3*sqrt(lam_max)):
+    # the render kernel rejects any contribution with alpha < 1/255
+    # (forward.cu:505), i.e. Mahalanobis^2 > q = 2*ln(255*opa). The largest
+    # |dx| on that ellipse is sqrt(q * cov2d_xx), so a per-axis box of
+    # half-extents min(radius, ceil(sqrt(q*a|c))) culls ONLY pixels the
+    # alpha threshold would reject anyway — output-identical, with
+    # opacity-aware and anisotropy-aware pair savings. opa <= 1/255 makes
+    # the box empty (such splats are alpha-rejected everywhere).
+    q = jax.lax.stop_gradient(
+        jnp.maximum(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-12)),
+                    0.0))
+    sg_a = jax.lax.stop_gradient(jnp.maximum(a, 0.0))
+    sg_c = jax.lax.stop_gradient(jnp.maximum(c, 0.0))
+    half_x = jnp.minimum(radius, jnp.ceil(jnp.sqrt(q * sg_a)))
+    half_y = jnp.minimum(radius, jnp.ceil(jnp.sqrt(q * sg_c)))
+    nonempty = (q > 0.0)
+
     grid_x = (width + BLOCK_X - 1) // BLOCK_X
     grid_y = (height + BLOCK_Y - 1) // BLOCK_Y
     mx = mean2d[..., 0]
     my = mean2d[..., 1]
     # getRect, auxiliary.h:46-56 (int truncation semantics)
-    rect_min_x = jnp.clip(((mx - radius) / BLOCK_X).astype(jnp.int32), 0, grid_x)
-    rect_min_y = jnp.clip(((my - radius) / BLOCK_Y).astype(jnp.int32), 0, grid_y)
+    rect_min_x = jnp.clip(((mx - half_x) / BLOCK_X).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((my - half_y) / BLOCK_Y).astype(jnp.int32), 0, grid_y)
     rect_max_x = jnp.clip(
-        ((mx + radius + BLOCK_X - 1) / BLOCK_X).astype(jnp.int32), 0, grid_x)
+        ((mx + half_x + BLOCK_X - 1) / BLOCK_X).astype(jnp.int32), 0, grid_x)
     rect_max_y = jnp.clip(
-        ((my + radius + BLOCK_Y - 1) / BLOCK_Y).astype(jnp.int32), 0, grid_y)
-    tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+        ((my + half_y + BLOCK_Y - 1) / BLOCK_Y).astype(jnp.int32), 0, grid_y)
+    tiles = jnp.where(
+        nonempty,
+        (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y), 0)
 
     valid = in_front & det_valid & (tiles > 0)
 
@@ -232,6 +253,8 @@ def preprocess(
         opacity=opacities,
         color=color,
         radius=jnp.where(valid, radius, 0.0),
+        radius_xy=jnp.where(valid[..., None],
+                            jnp.stack([half_x, half_y], axis=-1), 0.0),
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
         tiles_touched=jnp.where(valid, tiles, 0).astype(jnp.int32),

@@ -162,10 +162,12 @@ class FrontEnd:
         gt_depth = (np.zeros((1,) + rec.gt_image.shape[1:], np.float32)
                     if rec.gt_depth is None else
                     np.asarray(rec.gt_depth, np.float32)[None])
-        track_fn = (tracking.track_frame_gn if self.tracker == "gn"
-                    else tracking.track_frame)
-        max_iters = (min(self.tracking_itr_num, 20)
-                     if self.tracker == "gn" else self.tracking_itr_num)
+        track_fn = {"gn": tracking.track_frame_gn,
+                    "pyr": tracking.track_frame_pyr,
+                    "adam": tracking.track_frame}.get(
+                        self.tracker, tracking.track_frame_pyr)
+        max_iters = (self.tracking_itr_num if self.tracker == "adam"
+                     else min(self.tracking_itr_num, 20))
         (R, t, ea, eb, iters, out, med) = track_fn(
             self.gm, self.cam,
             jnp.asarray(prev.R), jnp.asarray(prev.t),

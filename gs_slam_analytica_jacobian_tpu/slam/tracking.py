@@ -159,6 +159,41 @@ def track_frame(
             final.itr, out, med)
 
 
+# ---------------------------------------------------------------------------
+# Image pyramid helpers (coarse-to-fine tracking)
+# ---------------------------------------------------------------------------
+
+def _pool_avg(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(C, H, W) average-pool by integer factor s (crop remainder)."""
+    c, h, w = x.shape
+    hs, ws = h // s, w // s
+    return x[:, : hs * s, : ws * s].reshape(c, hs, s, ws, s).mean(axis=(2, 4))
+
+
+def _pool_max(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    c, h, w = x.shape
+    hs, ws = h // s, w // s
+    return x[:, : hs * s, : ws * s].reshape(c, hs, s, ws, s).max(axis=(2, 4))
+
+
+def _stride_center(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(C, H, W) nearest (block-center) subsample — used for depth, where
+    averaging across discontinuities would fabricate gt surfaces."""
+    c, h, w = x.shape
+    hs, ws = h // s, w // s
+    return x[:, s // 2::s, s // 2::s][:, :hs, :ws]
+
+
+def _cam_level(cam: Camera, s: int) -> Camera:
+    """Scaled-intrinsics camera for pyramid level of decimation s."""
+    if s == 1:
+        return cam
+    return cam.replace(
+        fx=cam.fx / s, fy=cam.fy / s,
+        cx=(cam.cx + 0.5) / s - 0.5, cy=(cam.cy + 0.5) / s - 0.5,
+        width=cam.width // s, height=cam.height // s)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "max_iters",
@@ -316,3 +351,206 @@ def track_frame_gn(
     med = losses.median_depth(out.depth, out.opacity)
     return (final.R, final.t, final.exposure_a, final.exposure_b,
             final.itr, out, med)
+
+
+def _gn_level(
+    gm: GaussianMap,
+    cam_l: Camera,
+    R, t, ea, eb,
+    gt_image, gt_depth, grad_mask, bg,
+    rgb_boundary_threshold: float,
+    alpha: float,
+    monocular: bool,
+    max_iters: int,
+    pair_capacity: int,
+    interpret: bool,
+    use_oracle: bool,
+    fd_eps: float,
+    lm_lambda: float,
+    radius_pad: float,
+    H_frozen=None,
+):
+    """One pyramid level of IRLS Gauss-Newton pose refinement.
+
+    Same math as track_frame_gn, parametrized by the level camera and
+    level-resolution ground truths. When ``H_frozen`` is given, the FD
+    curvature probes are skipped entirely and the 8x8 normal matrix from
+    the coarser level is reused (its mean-normalized entries are
+    resolution-invariant in expectation) — only the exact analytic
+    gradient is evaluated per iteration.
+
+    Returns (R, t, ea, eb, iters_done, H_last).
+    """
+    plan = (None if use_oracle else make_render_plan(
+        gm, cam_l.replace(R=R, t=t), pair_capacity=pair_capacity,
+        radius_scale=1.1, radius_pad=radius_pad))
+
+    def render_at(tau, R_, t_):
+        cam = cam_l.replace(R=R_, t=t_)
+        pose = PoseState(tau=tau, exposure_a=jnp.zeros(()),
+                         exposure_b=jnp.zeros(()))
+        return render(gm, cam, pose, bg, pair_capacity=pair_capacity,
+                      interpret=interpret, use_oracle=use_oracle,
+                      plan=plan, need_n_touched=False)
+
+    def loss_fn(tau, exp_a, exp_b, R_, t_):
+        out = render_at(tau, R_, t_)
+        image_ab = losses.apply_exposure(out.color, exp_a, exp_b)
+        if monocular:
+            L = losses.loss_tracking_rgb(
+                image_ab, gt_image, out.opacity, grad_mask,
+                rgb_boundary_threshold)
+        else:
+            L = losses.loss_tracking_rgbd(
+                image_ab, out.depth, gt_image, gt_depth, out.opacity,
+                grad_mask, rgb_boundary_threshold, alpha)
+        aux = (jax.lax.stop_gradient(image_ab),
+               jax.lax.stop_gradient(out.depth),
+               jax.lax.stop_gradient(out.opacity))
+        return L, aux
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+
+    n3hw = 3.0 * gt_image.shape[1] * gt_image.shape[2]
+    nhw = float(gt_image.shape[1] * gt_image.shape[2])
+    rgb_mask = (gt_image.sum(axis=0, keepdims=True)
+                > rgb_boundary_threshold).astype(jnp.float32)
+
+    if H_frozen is None:
+        out0 = render_at(jnp.zeros(6), R, t)
+        base_color = out0.color
+        base_depth = out0.depth
+        taus = jnp.eye(6, dtype=jnp.float32) * fd_eps
+
+        def fd_render(tau):
+            o = render_at(tau, R, t)
+            return o.color, o.depth
+
+        colors_p, depths_p = jax.lax.map(fd_render, taus)
+        Jc = (colors_p - base_color[None]) / fd_eps
+        Jd = (depths_p - base_depth[None]) / fd_eps
+        Jc = jnp.concatenate(
+            [Jc, base_color[None], jnp.ones_like(base_color)[None]], axis=0)
+        Jd = jnp.concatenate([Jd, jnp.zeros_like(Jd[:2])], axis=0)
+        Jc_f = Jc.reshape(8, -1)
+        Jd_f = Jd.reshape(8, -1)
+
+        def curvature(image_ab, depth, opacity):
+            r_c = image_ab - gt_image
+            w_c = (opacity * grad_mask * rgb_mask) / (jnp.abs(r_c) + 1e-3)
+            w_c = (w_c if monocular else alpha * w_c) / n3hw
+            H_mat = (Jc_f * w_c.reshape(1, -1)) @ Jc_f.T
+            if not monocular:
+                depth_mask = ((gt_depth > 0.01) & (opacity > 0.95)
+                              ).astype(jnp.float32)
+                r_d = depth - gt_depth
+                w_d = ((1.0 - alpha) * depth_mask
+                       / (jnp.abs(r_d) + 1e-3) / nhw)
+                H_mat = H_mat + (Jd_f * w_d.reshape(1, -1)) @ Jd_f.T
+            H_mat = H_mat + lm_lambda * jnp.diag(
+                jnp.maximum(jnp.diag(H_mat), 1e-8))
+            return H_mat + 1e-8 * jnp.eye(8)
+    else:
+        def curvature(image_ab, depth, opacity):
+            return H_frozen
+
+    def body(s):
+        R_, t_, ea_, eb_, itr, conv, H_last = s
+        tau0 = jnp.zeros((6,), jnp.float32)
+        (g_tau, g_a, g_b), aux = grad_fn(tau0, ea_, eb_, R_, t_)
+        g = jnp.concatenate([g_tau, g_a[None], g_b[None]])
+        H_mat = curvature(*aux)
+        scale = 0.7 ** jnp.maximum(itr - 1, 0).astype(jnp.float32)
+        delta = jnp.linalg.solve(H_mat, g) * scale
+        new_tau = -delta[:6]
+        T = jnp.eye(4).at[:3, :3].set(R_).at[:3, 3].set(t_)
+        newT = se3_exp(new_tau) @ T
+        converged = jnp.linalg.norm(new_tau) < 1e-4
+        return (newT[:3, :3], newT[:3, 3], ea_ - delta[6], eb_ - delta[7],
+                itr + 1, converged, H_mat)
+
+    def cond(s):
+        return (s[4] < max_iters) & ~s[5]
+
+    H0 = jnp.eye(8) if H_frozen is None else H_frozen
+    init = (R, t, ea, eb, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), H0)
+    R_f, t_f, ea_f, eb_f, itr_f, _, H_f = jax.lax.while_loop(
+        cond, body, init)
+    return R_f, t_f, ea_f, eb_f, itr_f, H_f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("monocular", "levels", "level_iters",
+                     "pair_capacity", "interpret", "use_oracle"))
+def track_frame_pyr(
+    gm: GaussianMap,
+    cam_template: Camera,
+    R0: jnp.ndarray, t0: jnp.ndarray,
+    gt_image: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    grad_mask: jnp.ndarray,
+    bg: jnp.ndarray,
+    lr_rot: float, lr_trans: float,   # API parity; unused
+    rgb_boundary_threshold: float,
+    alpha: float = 0.95,
+    monocular: bool = False,
+    max_iters: int = 20,              # API parity; per-level counts below
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+    fd_eps: float = 1e-3,
+    lm_lambda: float = 1e-2,
+    levels: tuple = (4, 2, 1),
+    level_iters: tuple = (10, 6, 2),
+):
+    """Coarse-to-fine IRLS Gauss-Newton tracker.
+
+    The per-frame cost of track_frame_gn is dominated by full-resolution
+    render fwd+bwd passes. A resolution pyramid makes the early iterations
+    ~s^2 cheaper: levels run coarse-to-fine with warm-started pose and
+    exposure; the FD curvature probes run only on levels with s > 1 (the
+    finest level reuses the coarser level's normal matrix — its
+    mean-normalized entries are resolution-invariant), so NO full-res
+    probe renders are ever issued. The finest level still iterates with
+    the exact full-resolution analytic gradient, so the fixed point
+    matches track_frame_gn's up to its convergence tolerance.
+
+    The reference has no pyramid (slam_frontend.py:128-196 runs ~100 Adam
+    iterations at full res); this is a TPU-side redesign of the same
+    optimization problem, converging to the same loss minimum.
+    """
+    del lr_rot, lr_trans, max_iters
+
+    R, t = R0, t0
+    ea = jnp.zeros(())
+    eb = jnp.zeros(())
+    total_iters = jnp.zeros((), jnp.int32)
+    H_prev = None
+
+    for s, iters_l in zip(levels, level_iters):
+        if iters_l <= 0:
+            continue
+        cam_l = _cam_level(cam_template, s)
+        if s == 1:
+            gt_i, gt_d, gm_l = gt_image, gt_depth, grad_mask
+        else:
+            gt_i = _pool_avg(gt_image, s)
+            gt_d = _stride_center(gt_depth, s)
+            gm_l = _pool_max(grad_mask, s)
+        cap_l = pair_capacity if s == 1 else max(1 << 16, pair_capacity // 2)
+        probes_here = s > 1 or H_prev is None
+        R, t, ea, eb, itr_l, H_prev = _gn_level(
+            gm, cam_l, R, t, ea, eb, gt_i, gt_d, gm_l, bg,
+            rgb_boundary_threshold, alpha, monocular, iters_l, cap_l,
+            interpret, use_oracle, fd_eps, lm_lambda,
+            radius_pad=max(2.0, 8.0 / s),
+            H_frozen=None if probes_here else H_prev)
+        total_iters = total_iters + itr_l
+
+    cam = cam_template.replace(R=R, t=t)
+    out = render(gm, cam, None, bg, pair_capacity=pair_capacity,
+                 interpret=interpret, use_oracle=use_oracle)
+    med = losses.median_depth(out.depth, out.opacity)
+    return R, t, ea, eb, total_iters, out, med
