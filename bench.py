@@ -25,6 +25,98 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def make_room_map(N, rng):
+    """Synthetic CONVERGED-map stand-in: surface-aligned anisotropic
+    splats on the interior of a furnished room, procedurally textured.
+
+    A converged MonoGS Replica map is dominated by thin, high-opacity,
+    surface-aligned gaussians on walls/floor/objects — transmittance
+    saturates within a few dozen splats per ray, anisotropy is high, and
+    textures carry multi-scale gradients. The legacy 'blobs' cloud has
+    none of those properties and under-represents tile early-exit and
+    anisotropic culling. Camera looks +z from the room center wall.
+    """
+    # (origin, u_vec, v_vec, normal) rectangles, sizes in meters
+    surfaces = [
+        # back wall z=7
+        ((-4.0, -2.5, 7.0), (8.0, 0, 0), (0, 5.0, 0), (0, 0, -1)),
+        # left / right walls
+        ((-4.0, -2.5, 0.3), (0, 0, 6.7), (0, 5.0, 0), (1, 0, 0)),
+        ((4.0, -2.5, 0.3), (0, 0, 6.7), (0, 5.0, 0), (-1, 0, 0)),
+        # floor y=+2.5 (y points down in image space) / ceiling y=-2.5
+        ((-4.0, 2.5, 0.3), (8.0, 0, 0), (0, 0, 6.7), (0, -1, 0)),
+        ((-4.0, -2.5, 0.3), (8.0, 0, 0), (0, 0, 6.7), (0, 1, 0)),
+        # furniture: two boxes (front+top faces) and a screen
+        ((-2.5, 1.0, 4.0), (1.5, 0, 0), (0, 1.5, 0), (0, 0, -1)),
+        ((-2.5, 1.0, 4.0), (1.5, 0, 0), (0, 0, 1.0), (0, -1, 0)),
+        ((1.0, 0.5, 5.0), (2.0, 0, 0), (0, 2.0, 0), (0, 0, -1)),
+        ((1.0, 0.5, 5.0), (0, 0, 1.2), (0, 2.0, 0), (-1, 0, 0)),
+        ((-1.0, -1.0, 6.2), (2.2, 0, 0), (0, 1.4, 0), (0, 0, -1)),
+    ]
+    areas = np.array([np.linalg.norm(np.cross(u, v))
+                      for _, u, v, _ in surfaces])
+    counts = (areas / areas.sum() * N).astype(int)
+    counts[0] += N - counts.sum()
+
+    xyz, quat, normal_ax = [], [], []
+    for (o, u, v, n), c in zip(surfaces, counts):
+        a = rng.uniform(size=(c, 1))
+        b = rng.uniform(size=(c, 1))
+        p = np.asarray(o) + a * np.asarray(u) + b * np.asarray(v)
+        # small normal jitter like a real reconstruction
+        p = p + np.asarray(n) * rng.normal(0, 0.004, size=(c, 1))
+        xyz.append(p)
+        # quaternion rotating e_z onto the surface normal
+        n = np.asarray(n, np.float64)
+        ez = np.array([0.0, 0.0, 1.0])
+        axis = np.cross(ez, n)
+        s = np.linalg.norm(axis)
+        if s < 1e-8:
+            q = (np.array([1.0, 0, 0, 0]) if n[2] > 0
+                 else np.array([0.0, 1.0, 0, 0]))
+        else:
+            ang = np.arctan2(s, np.dot(ez, n))
+            axis = axis / s
+            q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * axis])
+        # random in-plane spin composed via quaternion product q * qz(phi)
+        phi = rng.uniform(0, np.pi, c)
+        qz = np.stack([np.cos(phi / 2), np.zeros(c), np.zeros(c),
+                       np.sin(phi / 2)], -1)
+        w1, x1, y1, z1 = q
+        w2, x2, y2, z2 = qz[:, 0], qz[:, 1], qz[:, 2], qz[:, 3]
+        quat.append(np.stack([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], -1))
+        normal_ax.append(np.full(c, 2))
+    xyz = np.concatenate(xyz).astype(np.float32)
+    quat = np.concatenate(quat).astype(np.float32)
+
+    # surface-disk scales: tangent ~2-5 cm, normal ~3-5 mm (log-normal)
+    log_tan = rng.normal(np.log(0.03), 0.35, size=(N, 2))
+    log_nrm = rng.normal(np.log(0.004), 0.25, size=(N, 1))
+    scaling = np.concatenate([log_tan, log_nrm], -1).astype(np.float32)
+
+    # multi-scale procedural texture: sum of random 3D sinusoids
+    col = np.full((N, 3), 0.45, np.float32)
+    for _ in range(8):
+        omega = rng.normal(size=3)
+        omega *= rng.uniform(2.0, 60.0) / np.linalg.norm(omega)
+        phase = rng.uniform(0, 2 * np.pi, 3)
+        amp = rng.uniform(0.04, 0.11, 3)
+        col += amp * np.sin(xyz @ omega[:, None] + phase[None])
+    col = np.clip(col, 0.02, 0.98)
+    C0 = 0.28209479177387814
+    features_dc = ((col - 0.5) / C0)[:, None, :].astype(np.float32)
+
+    # converged-map opacities: sigmoid(N(2.2, 0.7)) ~ 0.9
+    opacity = rng.normal(2.2, 0.7, size=(N, 1)).astype(np.float32)
+    return dict(xyz=xyz, features_dc=features_dc,
+                features_rest=np.zeros((N, 0, 3), np.float32),
+                scaling=scaling, rotation=quat, opacity=opacity)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -45,19 +137,25 @@ def main():
     PAIR_CAP = int(os.environ.get("BENCH_PAIR_CAP", 1 << 20))
     cam = Camera.create(np.eye(3), np.zeros(3), fx, fy, cx, cy, W, H)
 
-    # Replica-scale map: gaussians spread through a room-sized frustum
     rng = np.random.default_rng(0)
-    means = np.stack([
-        rng.uniform(-4, 4, N), rng.uniform(-2.5, 2.5, N),
-        rng.uniform(0.4, 8.0, N)], -1).astype(np.float32)
-    gm = gmap.from_numpy(
-        xyz=means,
-        features_dc=rng.normal(size=(N, 1, 3)).astype(np.float32) * 0.3,
-        features_rest=np.zeros((N, 0, 3), np.float32),
-        scaling=rng.normal(size=(N, 3)).astype(np.float32) * 0.3 - 4.0,
-        rotation=rng.normal(size=(N, 4)).astype(np.float32),
-        opacity=rng.normal(size=(N, 1)).astype(np.float32) + 1.0,
-        max_sh_degree=0)
+    scene = os.environ.get("BENCH_SCENE", "room")
+    if scene == "blobs":
+        # legacy round-1/2 scene: an unstructured gaussian cloud. Kept for
+        # comparability; a converged SLAM map does not look like this
+        # (surfaces saturate transmittance; a cloud never does).
+        means = np.stack([
+            rng.uniform(-4, 4, N), rng.uniform(-2.5, 2.5, N),
+            rng.uniform(0.4, 8.0, N)], -1).astype(np.float32)
+        gm = gmap.from_numpy(
+            xyz=means,
+            features_dc=rng.normal(size=(N, 1, 3)).astype(np.float32) * 0.3,
+            features_rest=np.zeros((N, 0, 3), np.float32),
+            scaling=rng.normal(size=(N, 3)).astype(np.float32) * 0.3 - 4.0,
+            rotation=rng.normal(size=(N, 4)).astype(np.float32),
+            opacity=rng.normal(size=(N, 1)).astype(np.float32) + 1.0,
+            max_sh_degree=0)
+    else:
+        gm = gmap.from_numpy(**make_room_map(N, rng), max_sh_degree=0)
 
     bg = jnp.zeros(3)
     # Ground-truth frame: render from a reference pose
@@ -81,12 +179,29 @@ def main():
                 "adam": tracking.track_frame}[tracker]
     max_iters = 100 if tracker == "adam" else 20
 
+    kw = {}
+    if tracker == "pyr":
+        if "BENCH_LEVELS" in os.environ:
+            kw["levels"] = tuple(
+                int(x) for x in os.environ["BENCH_LEVELS"].split(","))
+        if "BENCH_ITERS" in os.environ:
+            kw["level_iters"] = tuple(
+                int(x) for x in os.environ["BENCH_ITERS"].split(","))
+        if "BENCH_PROBES" in os.environ:
+            kw["probe_levels"] = os.environ["BENCH_PROBES"]
+        if "BENCH_CURV" in os.environ:
+            kw["curv"] = os.environ["BENCH_CURV"]
+        if os.environ.get("BENCH_BF16") == "1":
+            kw["kernel_bf16"] = True
+        if "BENCH_DECAY" in os.environ:
+            kw["step_decay"] = float(os.environ["BENCH_DECAY"])
+
     def run_once(t_start):
         return track_fn(
             gm, cam, R0, t_start,
             gt_image, gt_depth, grad_mask, bg,
             lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
-            max_iters=max_iters, pair_capacity=PAIR_CAP)
+            max_iters=max_iters, pair_capacity=PAIR_CAP, **kw)
 
     def sync(x):
         return float(jnp.sum(x.ravel()[:1]))

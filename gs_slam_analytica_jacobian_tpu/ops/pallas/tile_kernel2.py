@@ -93,8 +93,15 @@ def _pixel_rows(ty, tx, W, H):
     return px, py, pix_in
 
 
-def _chunk_terms(feat, px, py, t16x, t16y, row_ok):
-    """feat: (K, FEAT_DIM). Returns (alpha_unclamped, alpha, ok, dx, dy)."""
+def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
+    """feat: (K, FEAT_DIM). Returns (alpha_unclamped, alpha, ok, dx, dy).
+
+    bf16=True evaluates the Gaussian falloff (the dominant per-cell VPU
+    work) in bfloat16: the pixel deltas are formed in f32 first (mean2d
+    coordinates up to ~1200 would lose whole pixels in bf16), then cast —
+    |dx| <~ 48 px carries ~0.4% relative error into alpha, which only the
+    tracking-loop renders opt into (the IRLS weights and GN direction are
+    insensitive at that scale; final/golden renders stay f32)."""
     mx = feat[:, 0:1]
     my = feat[:, 1:2]
     ca = feat[:, 2:3]
@@ -106,17 +113,28 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok):
     rx1 = feat[:, 12:13]
     ry1 = feat[:, 13:14]
 
-    dx = mx - px                                   # (K, P)
+    dx = mx - px                                   # (K, P) f32
     dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    if bf16:
+        b = jnp.bfloat16
+        dxb = dx.astype(b)
+        dyb = dy.astype(b)
+        power_b = (-0.5 * (ca.astype(b) * dxb * dxb
+                           + cc.astype(b) * dyb * dyb)
+                   - cb.astype(b) * dxb * dyb)
+        a_un_b = opa.astype(b) * jnp.exp(power_b)
+        power = power_b.astype(jnp.float32)
+        a_un = a_un_b.astype(jnp.float32)
+    else:
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        a_un = opa * jnp.exp(power)
     rect_ok = ((t16x >= rx0) & (t16x < rx1) & (t16y >= ry0) & (t16y < ry1))
-    a_un = opa * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, a_un)
     ok = row_ok & rect_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
     return a_un, alpha, ok, dx, dy
 
 
-def make_forward_kernel(n_tx, W, H, with_ntouch=True):
+def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False):
     """with_ntouch=False drops the per-chunk n_touched DMA round trip —
     the tracking inner loop never reads it (renderer_tiled.render
     need_n_touched=False)."""
@@ -166,7 +184,7 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True):
             row_ok = rows < (n - c * K)
 
             _, alpha, ok, _, _ = _chunk_terms(
-                feat, px, py, t16x, t16y, row_ok)
+                feat, px, py, t16x, t16y, row_ok, bf16)
             live = ok & (done < 0.5)
             alpha_eff = jnp.where(live, alpha, 0.0)
             cum_incl = _scan_mul(1.0 - alpha_eff)
@@ -228,7 +246,7 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True):
     return kernel
 
 
-def make_backward_kernel(n_tx, W, H):
+def make_backward_kernel(n_tx, W, H, bf16=False):
     def kernel(ranges_ref, feat_hbm, fwd_ref, cot_ref, dfz_ref, dfeat_hbm,
                feat_vmem, dgrad_vmem, sem_in, sem_out):
         del dfz_ref  # aliased into dfeat_hbm (zero-init)
@@ -278,7 +296,7 @@ def make_backward_kernel(n_tx, W, H):
             row_ok = rows < (n - c * K)
 
             a_un, alpha, ok, dx, dy = _chunk_terms(
-                feat, px, py, t16x, t16y, row_ok)
+                feat, px, py, t16x, t16y, row_ok, bf16)
             live = ok & (done < 0.5)
             alpha_eff = jnp.where(live, alpha, 0.0)
             cum_incl = _scan_mul(1.0 - alpha_eff)
@@ -322,15 +340,39 @@ def make_backward_kernel(n_tx, W, H):
             ca = feat[:, 2:3]
             cb = feat[:, 3:4]
             cc = feat[:, 4:5]
-            gdx = G * dx
-            gdy = G * dy
-            dG_ddx = -gdx * ca - gdy * cb
-            dG_ddy = -gdy * cc - gdx * cb
-            d_mx = jnp.sum(dLdG * dG_ddx, axis=1, keepdims=True)
-            d_my = jnp.sum(dLdG * dG_ddy, axis=1, keepdims=True)
-            d_ca = jnp.sum(dLdG * (-0.5 * gdx * dx), axis=1, keepdims=True)
-            d_cb = jnp.sum(dLdG * (-gdx * dy), axis=1, keepdims=True)
-            d_cc = jnp.sum(dLdG * (-0.5 * gdy * dy), axis=1, keepdims=True)
+            if bf16:
+                # the quadratic-form gradient products are the largest
+                # VPU block of the kernel: evaluate in bf16, reduce in f32
+                b16 = jnp.bfloat16
+                Gb = G.astype(b16)
+                dxb = dx.astype(b16)
+                dyb = dy.astype(b16)
+                dLdGb = dLdG.astype(b16)
+                gdx = Gb * dxb
+                gdy = Gb * dyb
+                dG_ddx = -gdx * ca.astype(b16) - gdy * cb.astype(b16)
+                dG_ddy = -gdy * cc.astype(b16) - gdx * cb.astype(b16)
+
+                def rsum(x):
+                    return jnp.sum(x.astype(f32), axis=1, keepdims=True)
+
+                d_mx = rsum(dLdGb * dG_ddx)
+                d_my = rsum(dLdGb * dG_ddy)
+                d_ca = rsum(dLdGb * (-0.5 * gdx * dxb))
+                d_cb = rsum(dLdGb * (-gdx * dyb))
+                d_cc = rsum(dLdGb * (-0.5 * gdy * dyb))
+            else:
+                gdx = G * dx
+                gdy = G * dy
+                dG_ddx = -gdx * ca - gdy * cb
+                dG_ddy = -gdy * cc - gdx * cb
+                d_mx = jnp.sum(dLdG * dG_ddx, axis=1, keepdims=True)
+                d_my = jnp.sum(dLdG * dG_ddy, axis=1, keepdims=True)
+                d_ca = jnp.sum(dLdG * (-0.5 * gdx * dx), axis=1,
+                               keepdims=True)
+                d_cb = jnp.sum(dLdG * (-gdx * dy), axis=1, keepdims=True)
+                d_cc = jnp.sum(dLdG * (-0.5 * gdy * dy), axis=1,
+                               keepdims=True)
 
             dgrad = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_opa, d_colors, d_depths,
@@ -397,12 +439,12 @@ def disassemble_image(img, n_tx, n_ty):
 
 @functools.partial(
     jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret",
-                              "with_ntouch"))
+                              "with_ntouch", "bf16"))
 def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
-              with_ntouch=True):
+              with_ntouch=True, bf16=False):
     B_al = feat.shape[0]
     feat_v = jnp.transpose(feat)                  # (FEAT_DIM, B_al)
-    kernel = make_forward_kernel(n_tx, W, H, with_ntouch)
+    kernel = make_forward_kernel(n_tx, W, H, with_ntouch, bf16)
     img_spec = pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
                             memory_space=pltpu.VMEM)
     img_shape = jax.ShapeDtypeStruct((6, n_ty * 8, n_tx * 128), jnp.float32)
@@ -453,12 +495,13 @@ def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret"))
+    jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret",
+                              "bf16"))
 def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
-              interpret=False):
+              interpret=False, bf16=False):
     B_al = feat.shape[0]
     feat_v = jnp.transpose(feat)
-    kernel = make_backward_kernel(n_tx, W, H)
+    kernel = make_backward_kernel(n_tx, W, H, bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx),
@@ -490,38 +533,41 @@ def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
     return jnp.transpose(dfeat_v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def composite32(feat, ranges, n_tx, n_ty, W, H,
-                interpret=False, with_ntouch=True) -> Composite2Out:
+                interpret=False, with_ntouch=True,
+                bf16=False) -> Composite2Out:
     """Differentiable 32x32-tiled compositing.
 
     feat: (B_al, FEAT_DIM) aligned pair records; ranges: (n_tiles, 2) i32.
     with_ntouch=False skips the per-pair touch-count output (zeros).
+    bf16=True evaluates the Gaussian falloff / gradient products in
+    bfloat16 (see _chunk_terms) — opt-in for tracking-loop renders.
     """
     img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
-                            with_ntouch)
+                            with_ntouch, bf16)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     return Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                          final_T=asm[4], n_touched_pairs=ntouch)
 
 
 def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False,
-             with_ntouch=True):
+             with_ntouch=True, bf16=False):
     img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
-                            with_ntouch)
+                            with_ntouch, bf16)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     out = Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                         final_T=asm[4], n_touched_pairs=ntouch)
     return out, (feat, ranges, img)
 
 
-def _c32_bwd(n_tx, n_ty, W, H, interpret, with_ntouch, res, cot):
+def _c32_bwd(n_tx, n_ty, W, H, interpret, with_ntouch, bf16, res, cot):
     feat, ranges, fwd_img = res
     cot_asm = jnp.concatenate(
         [cot.color_sum, cot.depth_sum[None], cot.final_T[None]], axis=0)
     cot_img = disassemble_image(cot_asm, n_tx, n_ty)
     dfeat = _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
-                      interpret)
+                      interpret, bf16)
     return dfeat, None
 
 

@@ -86,7 +86,7 @@ def make_plan(
     jax.jit,
     static_argnames=("sh_degree", "fx", "fy", "width", "height",
                      "tanfovx", "tanfovy", "pair_capacity", "interpret",
-                     "need_n_touched"))
+                     "need_n_touched", "bf16"))
 def render(
     means3d: jnp.ndarray,
     cov6: jnp.ndarray,
@@ -106,6 +106,7 @@ def render(
     interpret: bool = False,
     plan: Optional[PairPlan] = None,
     need_n_touched: bool = True,
+    bf16: bool = False,
 ) -> RenderOutput:
     n_tx, n_ty = grid_dims(width, height)
 
@@ -127,7 +128,7 @@ def render(
     feat = pair_gather(table, plan)
 
     out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
-                      interpret, need_n_touched)
+                      interpret, need_n_touched, bf16)
 
     color = out.color_sum + out.final_T[None] * bg[:, None, None]
     opacity = 1.0 - out.final_T

@@ -72,10 +72,15 @@ class FrontEnd:
         self.lr_trans = T["lr"]["cam_trans_delta"]
         self.pair_capacity = T.get("pair_capacity", 1 << 20)
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
-        # "gn" = IRLS Gauss-Newton on the analytic pose Jacobian
-        # (~10 iters/frame); "adam" = the reference's Adam loop
+        # "pyr" = coarse-to-fine IRLS Gauss-Newton (default); "gn" =
+        # single-level GN; "adam" = the reference's Adam loop
         # (slam_frontend.py:132-162, up to tracking_itr_num iters).
-        self.tracker = T.get("tracker", "gn")
+        self.tracker = T.get("tracker", "pyr")
+        self.pyr_levels = tuple(T.get("pyr_levels", (4, 2, 1)))
+        self.pyr_iters = tuple(T.get("pyr_iters", (10, 6, 2)))
+        self.pyr_curv = T.get("pyr_curv", "fd")
+        self.pyr_probes = T.get("pyr_probes", "coarse")
+        self.kernel_bf16 = bool(T.get("kernel_bf16", True))
         self.dataset_type = config["Dataset"]["type"]
         res = config.get("Results", {})
         self.save_dir = None               # set by the SLAM driver
@@ -168,6 +173,23 @@ class FrontEnd:
                         self.tracker, tracking.track_frame_pyr)
         max_iters = (self.tracking_itr_num if self.tracker == "adam"
                      else min(self.tracking_itr_num, 20))
+        kw = {}
+        if self.tracker == "pyr":
+            # drop pyramid levels that undershoot one 32x32 tile
+            levels, iters = [], []
+            for s, it in zip(self.pyr_levels, self.pyr_iters):
+                if self.cam.width // s >= 64 and self.cam.height // s >= 64:
+                    levels.append(s)
+                    iters.append(it)
+            if not levels:
+                levels, iters = [1], [max(self.pyr_iters)]
+            if levels[-1] != 1:
+                levels.append(1)
+                iters.append(2)
+            kw = dict(levels=tuple(levels), level_iters=tuple(iters),
+                      curv=self.pyr_curv, probe_levels=self.pyr_probes,
+                      kernel_bf16=(self.kernel_bf16 and not self.interpret
+                                   and not self.use_oracle))
         (R, t, ea, eb, iters, out, med) = track_fn(
             self.gm, self.cam,
             jnp.asarray(prev.R), jnp.asarray(prev.t),
@@ -177,7 +199,7 @@ class FrontEnd:
             alpha=self.alpha, monocular=self.monocular,
             max_iters=max_iters,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
-            use_oracle=self.use_oracle)
+            use_oracle=self.use_oracle, **kw)
         rec.R, rec.t = np.asarray(R), np.asarray(t)
         rec.exposure_a, rec.exposure_b = float(ea), float(eb)
         self.median_depth = float(med)

@@ -32,6 +32,7 @@ def render(
     interpret: bool = False,
     plan=None,
     need_n_touched: bool = True,
+    bf16: bool = False,
 ) -> RenderOutput:
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -55,7 +56,7 @@ def render(
         return renderer_ref.render(**kwargs)
     return renderer_tiled.render(
         **kwargs, pair_capacity=pair_capacity, interpret=interpret,
-        plan=plan, need_n_touched=need_n_touched)
+        plan=plan, need_n_touched=need_n_touched, bf16=bf16)
 
 
 def make_render_plan(

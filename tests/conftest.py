@@ -35,7 +35,10 @@ if not TPU_LANE:
 else:
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/jax_cache_gsslam_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persist EVERY compile: the e2e/multichip tests dispatch hundreds of small
+# eager programs (scatter/reshard/KFStore updates) that individually sit
+# under any seconds-level threshold but together dominate suite runtime.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 if not TPU_LANE:
     assert jax.default_backend() == "cpu", jax.default_backend()

@@ -102,6 +102,7 @@ def test_backend_integrated_mesh(rng):
     T["window_size"] = 4
     T["pose_window"] = 2
     T["initial_capacity"] = 1024
+    T["kf_capacity"] = 16    # shrink the KFStore: this is a wiring test
     T["init_itr_num"] = 4
     T["init_gaussian_update"] = 4
     T["mapping_itr_num"] = 2

@@ -42,6 +42,7 @@ def small_config(single_thread=True):
     T["window_size"] = 4
     T["pose_window"] = 2
     T["initial_capacity"] = 8192
+    T["kf_capacity"] = 16    # shrink the KFStore compile footprint
     T["monocular"] = cfg["Dataset"]["sensor_type"] == "monocular"
     # keyframe thresholds scaled to the reduced motion (is_keyframe gates
     # on kf_translation * median_depth ~ 2.5 m)

@@ -1,0 +1,102 @@
+"""Tracking unit tests (CPU): pyramid helpers + flow-curvature GN
+convergence on a small synthetic scene.
+
+The tracker's fixed point is defined by the exact analytic dL/dtau from the
+renderer backward; the flow-synthesized curvature (tracking._flow_jacobian)
+only preconditions the iteration, so the strongest correctness check is
+end-behavior: from a perturbed pose, the tracker must recover the ground
+truth pose to well under the reference's convergence tolerance
+(reference hot loop: utils/slam_frontend.py:128-196).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gs_slam_analytica_jacobian_tpu.models.camera import Camera
+from gs_slam_analytica_jacobian_tpu.models import gaussian_map as gmap
+from gs_slam_analytica_jacobian_tpu.slam import tracking
+from gs_slam_analytica_jacobian_tpu.slam.render_api import render
+from gs_slam_analytica_jacobian_tpu.ops.lie import se3_exp
+
+
+def test_pyramid_pooling_helpers():
+    x = jnp.arange(2 * 8 * 12, dtype=jnp.float32).reshape(2, 8, 12)
+    a = tracking._pool_avg(x, 2)
+    m = tracking._pool_max(x, 2)
+    s = tracking._stride_center(x, 2)
+    assert a.shape == (2, 4, 6) and m.shape == (2, 4, 6)
+    assert s.shape == (2, 4, 6)
+    np.testing.assert_allclose(
+        np.asarray(a[0, 0, 0]), np.mean([0, 1, 12, 13]))
+    np.testing.assert_allclose(np.asarray(m[0, 0, 0]), 13.0)
+    np.testing.assert_allclose(np.asarray(s[0, 0, 0]), 13.0)  # center (1,1)
+
+
+def test_cam_level_scaling():
+    cam = Camera.create(np.eye(3), np.zeros(3), 80.0, 80.0, 63.5, 47.5,
+                        128, 96)
+    c2 = tracking._cam_level(cam, 2)
+    assert (c2.width, c2.height) == (64, 48)
+    assert c2.fx == 40.0 and c2.cx == 31.5
+    # tanfov is preserved by intrinsic scaling
+    np.testing.assert_allclose(c2.tanfovx, cam.tanfovx)
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    W, H = 96, 64
+    cam = Camera.create(np.eye(3), np.zeros(3), 60.0, 60.0,
+                        (W - 1) / 2, (H - 1) / 2, W, H)
+    rng = np.random.default_rng(3)
+    n = 600
+    gm = gmap.from_numpy(
+        xyz=np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-0.8, 0.8, n),
+                      rng.uniform(0.5, 4.0, n)], -1).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3,
+        features_rest=np.zeros((n, 0, 3), np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32) * 0.3 - 2.3,
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32) + 1.0,
+        max_sh_degree=0)
+    bg = jnp.zeros(3)
+    out = render(gm, cam, None, bg, pair_capacity=1 << 13, interpret=True)
+    gt_image = jnp.clip(out.color, 0, 1)
+    gt_depth = out.depth
+    return cam, gm, bg, gt_image, gt_depth
+
+
+def test_flow_gn_recovers_pose(small_scene):
+    cam, gm, bg, gt_image, gt_depth = small_scene
+    tau = np.zeros(6, np.float32)
+    tau[:3] = [0.015, -0.012, 0.015]
+    tau[3:] = [0.005, 0.007, -0.004]
+    T0 = np.asarray(se3_exp(jnp.asarray(tau)))
+    mask = jnp.ones_like(gt_depth)
+    res = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
+        gt_image, gt_depth, mask, bg,
+        lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
+        pair_capacity=1 << 13, levels=(1,), level_iters=(10,), curv="flow",
+        interpret=True)
+    R, t = np.asarray(res[0]), np.asarray(res[1])
+    # ground truth pose is identity; the perturbation is ~2.4 cm
+    assert np.linalg.norm(t) < 8e-4, np.linalg.norm(t)
+    assert np.linalg.norm(R - np.eye(3)) < 2e-3
+    # keyframing render outputs are finite and populated
+    assert np.isfinite(float(res[6]))              # median depth
+    assert int(jnp.sum(res[5].n_touched)) > 0
+
+
+def test_flow_jacobian_shapes_and_conf_gating(small_scene):
+    cam, gm, bg, gt_image, gt_depth = small_scene
+    out = render(gm, cam, None, bg, pair_capacity=1 << 13, interpret=True)
+    Jc, Jd = tracking._flow_jacobian(cam, out.color, out.depth, out.opacity)
+    assert Jc.shape == (8, 3, cam.height, cam.width)
+    assert Jd.shape == (8, 1, cam.height, cam.width)
+    assert np.all(np.isfinite(np.asarray(Jc)))
+    assert np.all(np.isfinite(np.asarray(Jd)))
+    # pose columns must vanish where no confident surface exists
+    conf = np.asarray(out.opacity[0]) > 0.5
+    jpose = np.abs(np.asarray(Jc[:6])).sum(axis=(0, 1))
+    assert np.all(jpose[~conf] == 0.0)
