@@ -195,6 +195,10 @@ def main():
             kw["kernel_bf16"] = True
         if "BENCH_DECAY" in os.environ:
             kw["step_decay"] = float(os.environ["BENCH_DECAY"])
+        if "BENCH_SIGMA0" in os.environ:
+            kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
+        if "BENCH_SIGMA_DECAY" in os.environ:
+            kw["sigma_decay"] = float(os.environ["BENCH_SIGMA_DECAY"])
 
     def run_once(t_start):
         return track_fn(

@@ -439,6 +439,9 @@ def _gn_level(
     curv: str = "flow",
     bf16: bool = False,
     step_decay: float = 0.7,
+    sigma0: float = 0.01,
+    sigma_decay: float = 0.8,
+    sigma_in=None,
 ):
     """One pyramid level of IRLS Gauss-Newton pose refinement.
 
@@ -498,12 +501,29 @@ def _gn_level(
     rgb_mask = (gt_image.sum(axis=0, keepdims=True)
                 > rgb_boundary_threshold).astype(jnp.float32)
 
-    def assemble_H(Jc_f, Jd_f, image_ab, depth, opacity):
-        """IRLS normal matrix J^T diag(w) J, weights w/(|r|+eps) from the
-        CURRENT residuals; masks and mean normalizations mirror
-        loss_tracking_* (ops/losses.py:100-130)."""
+    def assemble_H(Jc, Jd, image_ab, depth, opacity, sigma):
+        """IRLS normal matrix J^T diag(w) J with MOTION-FLOORED weights
+        w = m / (|r| + eps + ||J_pose||*sigma), residuals from the CURRENT
+        iterate. The ||J||*sigma floor is the key robustness device on
+        textured scenes: pixels whose residual happens to be tiny but
+        whose Jacobian is large (depth discontinuities, grazing surfaces,
+        texture coincidences) would otherwise contribute J^2/eps to H —
+        a bounded-gradient / quadratic-curvature imbalance that crushes
+        the GN step (observed: steps 100x too small on a textured room).
+        The floor says "this pixel's residual is only trusted up to the
+        change a sigma-sized motion would cause"; sigma anneals
+        geometrically (sigma0 * sigma_decay^iter, shared across pyramid
+        levels), so the iteration is a trust-region -> IRLS homotopy whose
+        fixed point is still the exact L1 optimum (the gradient is never
+        modified). Masks and mean normalizations mirror loss_tracking_*
+        (ops/losses.py:100-130)."""
+        Jc_f = Jc.reshape(8, -1)
+        Jd_f = Jd.reshape(8, -1)
+        jn_c = jnp.sqrt(jnp.sum(Jc[:6] * Jc[:6], axis=0))    # (3, H, W)
+        jn_d = jnp.sqrt(jnp.sum(Jd[:6] * Jd[:6], axis=0))    # (1, H, W)
         r_c = image_ab - gt_image
-        w_c = (opacity * grad_mask * rgb_mask) / (jnp.abs(r_c) + 1e-3)
+        w_c = ((opacity * grad_mask * rgb_mask)
+               / (jnp.abs(r_c) + 1e-3 + jn_c * sigma))
         w_c = (w_c if monocular else alpha * w_c) / n3hw
         H_mat = (Jc_f * w_c.reshape(1, -1)) @ Jc_f.T
         if not monocular:
@@ -511,20 +531,19 @@ def _gn_level(
                           ).astype(jnp.float32)
             r_d = depth - gt_depth
             w_d = ((1.0 - alpha) * depth_mask
-                   / (jnp.abs(r_d) + 1e-3) / nhw)
+                   / (jnp.abs(r_d) + 1e-3 + jn_d * sigma) / nhw)
             H_mat = H_mat + (Jd_f * w_d.reshape(1, -1)) @ Jd_f.T
         H_mat = H_mat + lm_lambda * jnp.diag(
             jnp.maximum(jnp.diag(H_mat), 1e-8))
         return H_mat + 1e-8 * jnp.eye(8)
 
     if H_frozen is not None:
-        def curvature(image_ab, depth, opacity):
+        def curvature(image_ab, depth, opacity, sigma):
             return H_frozen
     elif curv == "flow":
-        def curvature(image_ab, depth, opacity):
+        def curvature(image_ab, depth, opacity, sigma):
             Jc, Jd = _flow_jacobian(cam_l, image_ab, depth, opacity)
-            return assemble_H(Jc.reshape(8, -1), Jd.reshape(8, -1),
-                              image_ab, depth, opacity)
+            return assemble_H(Jc, Jd, image_ab, depth, opacity, sigma)
     else:  # "fd": frozen FD probe Jacobian at level entry
         out0 = render_at(jnp.zeros(6), R, t)
         base_color = out0.color
@@ -541,43 +560,86 @@ def _gn_level(
         Jc = jnp.concatenate(
             [Jc, base_color[None], jnp.ones_like(base_color)[None]], axis=0)
         Jd = jnp.concatenate([Jd, jnp.zeros_like(Jd[:2])], axis=0)
-        Jc_f = Jc.reshape(8, -1)
-        Jd_f = Jd.reshape(8, -1)
 
-        def curvature(image_ab, depth, opacity):
-            return assemble_H(Jc_f, Jd_f, image_ab, depth, opacity)
+        def curvature(image_ab, depth, opacity, sigma):
+            return assemble_H(Jc, Jd, image_ab, depth, opacity, sigma)
+
+    if sigma_in is None:
+        sigma_in = jnp.asarray(sigma0, jnp.float32)
+
+    vg_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
     def body(s):
-        R_, t_, ea_, eb_, itr, conv, H_last = s
+        # Trust-region accept/reject GN: each iteration renders ONCE at the
+        # probe pose P; if its loss beats the best-so-far B, P becomes B
+        # (and its gradient/curvature are cached) and the radius grows,
+        # otherwise the radius shrinks; the next probe always steps from B
+        # along B's cached Newton direction. This replaces the open-loop
+        # 0.7^k decay, which either over-damps (mis-scaled first H on
+        # strongly textured scenes) or under-damps (L1 zigzag), depending
+        # on the scene.
+        (R_, t_, ea_, eb_, itr, conv, sigma, trust,
+         RB, tB, eaB, ebB, LB, gB, HB) = s
         tau0 = jnp.zeros((6,), jnp.float32)
-        (g_tau, g_a, g_b), aux = grad_fn(tau0, ea_, eb_, R_, t_)
+        (L_P, aux), (g_tau, g_a, g_b) = vg_fn(tau0, ea_, eb_, R_, t_)
         g = jnp.concatenate([g_tau, g_a[None], g_b[None]])
-        H_mat = curvature(*aux)
-        scale = step_decay ** jnp.maximum(itr - 1, 0).astype(jnp.float32)
-        delta = jnp.linalg.solve(H_mat, g) * scale
+        H_mat = curvature(*aux, sigma)
+        accept = L_P <= LB
+
+        def sel(a, b):
+            return jnp.where(accept, a, b)
+
+        RB2 = sel(R_, RB)
+        tB2 = sel(t_, tB)
+        eaB2 = sel(ea_, eaB)
+        ebB2 = sel(eb_, ebB)
+        LB2 = sel(L_P, LB)
+        gB2 = sel(g, gB)
+        HB2 = sel(H_mat, HB)
+        trust2 = jnp.where(accept, jnp.minimum(trust * 1.5, 1.0),
+                           trust * 0.4)
+
+        delta = jnp.linalg.solve(HB2, gB2) * trust2
+        # pose-step safety clamp (5 cm / 50 mrad): the sigma-floored H can
+        # overshoot on the very first steps; the basin is never that wide
+        pn = jnp.linalg.norm(delta[:6])
+        delta = delta * jnp.minimum(1.0, 0.05 / jnp.maximum(pn, 1e-12))
         new_tau = -delta[:6]
-        T = jnp.eye(4).at[:3, :3].set(R_).at[:3, 3].set(t_)
+        # SELF-SCALED trust floor for the NEXT linearization: residuals are
+        # trusted only up to the image change a last-step-sized motion
+        # causes; monotone tightening toward pure IRLS (exact L1 fixed
+        # point) at rate at most sigma_decay.
+        new_sigma = jnp.minimum(
+            jnp.maximum(jnp.linalg.norm(delta[:6]), 1e-4),
+            sigma * jnp.asarray(sigma_decay, jnp.float32))
+        T = jnp.eye(4).at[:3, :3].set(RB2).at[:3, 3].set(tB2)
         newT = se3_exp(new_tau) @ T
-        converged = jnp.linalg.norm(new_tau) < 1e-4
-        return (newT[:3, :3], newT[:3, 3], ea_ - delta[6], eb_ - delta[7],
-                itr + 1, converged, H_mat)
+        converged = (jnp.linalg.norm(new_tau) < 1e-4) & accept
+        return (newT[:3, :3], newT[:3, 3], eaB2 - delta[6], ebB2 - delta[7],
+                itr + 1, converged, new_sigma, trust2,
+                RB2, tB2, eaB2, ebB2, LB2, gB2, HB2)
 
     def cond(s):
         return (s[4] < max_iters) & ~s[5]
 
     H0 = jnp.eye(8) if H_frozen is None else H_frozen
+    inf = jnp.asarray(jnp.inf, jnp.float32)
     init = (R, t, ea, eb, jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool), H0)
-    R_f, t_f, ea_f, eb_f, itr_f, _, H_f = jax.lax.while_loop(
-        cond, body, init)
-    return R_f, t_f, ea_f, eb_f, itr_f, H_f, plan
+            jnp.zeros((), bool), sigma_in, jnp.asarray(1.0, jnp.float32),
+            R, t, ea, eb, inf, jnp.zeros(8), H0)
+    out = jax.lax.while_loop(cond, body, init)
+    (R_p, t_p, ea_p, eb_p, itr_f, _, sigma_f, _,
+     RB, tB, eaB, ebB, LB, gB, HB) = out
+    # the final PROBE pose may be a rejected overshoot — return the best
+    return RB, tB, eaB, ebB, itr_f, HB, plan, sigma_f
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
-                     "curv", "kernel_bf16", "step_decay", "pair_capacity",
-                     "interpret", "use_oracle"))
+                     "curv", "kernel_bf16", "step_decay", "sigma0",
+                     "sigma_decay", "pair_capacity", "interpret",
+                     "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -602,6 +664,8 @@ def track_frame_pyr(
     curv: str = "flow",
     kernel_bf16: bool = False,
     step_decay: float = 0.7,
+    sigma0: float = 0.01,
+    sigma_decay: float = 0.8,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -627,6 +691,7 @@ def track_frame_pyr(
     total_iters = jnp.zeros((), jnp.int32)
     H_prev = None
     plan_s1 = None
+    sigma_prev = None
 
     for s, iters_l in zip(levels, level_iters):
         if iters_l <= 0:
@@ -645,13 +710,14 @@ def track_frame_pyr(
             probes_here = H_prev is None
         else:  # "coarse": re-probe at every level except the finest
             probes_here = s > 1 or H_prev is None
-        R, t, ea, eb, itr_l, H_prev, plan_l = _gn_level(
+        R, t, ea, eb, itr_l, H_prev, plan_l, sigma_prev = _gn_level(
             gm, cam_l, R, t, ea, eb, gt_i, gt_d, gm_l, bg,
             rgb_boundary_threshold, alpha, monocular, iters_l, cap_l,
             interpret, use_oracle, fd_eps, lm_lambda,
             radius_pad=max(2.0, 8.0 / s),
             H_frozen=None if probes_here else H_prev, curv=curv,
-            bf16=kernel_bf16, step_decay=step_decay)
+            bf16=kernel_bf16, step_decay=step_decay, sigma0=sigma0,
+            sigma_decay=sigma_decay, sigma_in=sigma_prev)
         total_iters = total_iters + itr_l
         if s == 1:
             plan_s1 = plan_l

@@ -83,6 +83,7 @@ def test_sharded_mapping_matches_single_device(rng):
                                   np.asarray(out1.n_touched))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_backend_integrated_mesh(rng):
     """BackEnd with Training.mesh_devices=8 runs init + a keyframe mapping

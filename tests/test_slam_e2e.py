@@ -61,6 +61,35 @@ def small_config(single_thread=True):
     return cfg
 
 
+def test_slam_smoke_fast():
+    """Default-lane e2e smoke: tiny scene, few frames — proves the full
+    init -> track -> keyframe -> map -> eval loop closes with finite ATE
+    in about a minute. The fuller accuracy/threading variants below are
+    behind -m slow."""
+    cfg = small_config()
+    cfg["Results"]["save_results"] = False
+    cal = cfg["Dataset"]["Calibration"]
+    cal["width"], cal["height"] = 64, 48
+    cal["fx"] = cal["fy"] = 44.0
+    cal["cx"], cal["cy"] = 31.5, 23.5
+    T = cfg["Training"]
+    T["init_itr_num"] = 8
+    T["init_gaussian_update"] = 8
+    T["tracking_itr_num"] = 5
+    T["mapping_itr_num"] = 4
+    T["initial_capacity"] = 4096
+    cfg["Dataset"]["n_frames"] = 5
+    cfg["Dataset"]["pcd_downsample_init"] = 4
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+
+    slam = SLAM(cfg, interpret=True)
+    results = slam.run(n_frames=5)
+    assert results["n_frames"] == 5
+    assert np.isfinite(results["ate"]), results
+    assert results["ate"] < 0.12, results
+    assert int(slam.backend.gm.num_active()) > 50
+
+
 @pytest.mark.slow
 def test_slam_synthetic_rgbd_single_thread():
     cfg = small_config()

@@ -77,7 +77,7 @@ def test_flow_gn_recovers_pose(small_scene):
         gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
         gt_image, gt_depth, mask, bg,
         lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
-        pair_capacity=1 << 13, levels=(1,), level_iters=(10,), curv="flow",
+        pair_capacity=1 << 13, levels=(1,), level_iters=(12,), curv="flow",
         interpret=True)
     R, t = np.asarray(res[0]), np.asarray(res[1])
     # ground truth pose is identity; the perturbation is ~2.4 cm
