@@ -193,8 +193,6 @@ def main():
             kw["curv"] = os.environ["BENCH_CURV"]
         if os.environ.get("BENCH_BF16") == "1":
             kw["kernel_bf16"] = True
-        if "BENCH_DECAY" in os.environ:
-            kw["step_decay"] = float(os.environ["BENCH_DECAY"])
         if "BENCH_SIGMA0" in os.environ:
             kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
         if "BENCH_SIGMA_DECAY" in os.environ:

@@ -77,10 +77,12 @@ class FrontEnd:
         # (slam_frontend.py:132-162, up to tracking_itr_num iters).
         self.tracker = T.get("tracker", "pyr")
         self.pyr_levels = tuple(T.get("pyr_levels", (4, 2, 1)))
-        self.pyr_iters = tuple(T.get("pyr_iters", (10, 6, 2)))
+        self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 2)))
         self.pyr_curv = T.get("pyr_curv", "fd")
         self.pyr_probes = T.get("pyr_probes", "coarse")
-        self.kernel_bf16 = bool(T.get("kernel_bf16", True))
+        # bf16 kernels measured numerically fine but not faster as
+        # implemented (PERF.md) — opt-in
+        self.kernel_bf16 = bool(T.get("kernel_bf16", False))
         self.dataset_type = config["Dataset"]["type"]
         res = config.get("Results", {})
         self.save_dir = None               # set by the SLAM driver

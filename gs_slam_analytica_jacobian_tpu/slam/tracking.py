@@ -436,9 +436,8 @@ def _gn_level(
     lm_lambda: float,
     radius_pad: float,
     H_frozen=None,
-    curv: str = "flow",
+    curv: str = "fd",
     bf16: bool = False,
-    step_decay: float = 0.7,
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
     sigma_in=None,
@@ -637,7 +636,7 @@ def _gn_level(
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
-                     "curv", "kernel_bf16", "step_decay", "sigma0",
+                     "curv", "kernel_bf16", "sigma0",
                      "sigma_decay", "pair_capacity", "interpret",
                      "use_oracle"))
 def track_frame_pyr(
@@ -659,11 +658,10 @@ def track_frame_pyr(
     fd_eps: float = 1e-3,
     lm_lambda: float = 1e-2,
     levels: tuple = (4, 2, 1),
-    level_iters: tuple = (10, 6, 2),
+    level_iters: tuple = (5, 3, 2),
     probe_levels: str = "coarse",
-    curv: str = "flow",
+    curv: str = "fd",
     kernel_bf16: bool = False,
-    step_decay: float = 0.7,
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
 ):
@@ -708,6 +706,12 @@ def track_frame_pyr(
             probes_here = True       # flow curvature is per-iteration free
         elif probe_levels == "first":
             probes_here = H_prev is None
+        elif probe_levels == "all":
+            # fresh FD probes at EVERY level, including full res: the
+            # warm-started fine levels re-linearize near the optimum,
+            # which removes the stale-J accuracy floor (~3-7 mm measured
+            # when the finest level inherits a coarse-level H)
+            probes_here = True
         else:  # "coarse": re-probe at every level except the finest
             probes_here = s > 1 or H_prev is None
         R, t, ea, eb, itr_l, H_prev, plan_l, sigma_prev = _gn_level(
@@ -716,7 +720,7 @@ def track_frame_pyr(
             interpret, use_oracle, fd_eps, lm_lambda,
             radius_pad=max(2.0, 8.0 / s),
             H_frozen=None if probes_here else H_prev, curv=curv,
-            bf16=kernel_bf16, step_decay=step_decay, sigma0=sigma0,
+            bf16=kernel_bf16, sigma0=sigma0,
             sigma_decay=sigma_decay, sigma_in=sigma_prev)
         total_iters = total_iters + itr_l
         if s == 1:
