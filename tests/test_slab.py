@@ -1,0 +1,92 @@
+"""Depth-slab model parallelism: sharding the GAUSSIAN axis over the
+8-device CPU mesh must reproduce the single-device oracle (the over
+operator is associative; deviations are limited to sub-1e-4 contributions
+the reference's global T<1e-4 cut would have dropped at slab boundaries —
+see parallel/slab.py docstring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs_slam_analytica_jacobian_tpu.models.camera import Camera
+from gs_slam_analytica_jacobian_tpu.models import gaussian_map as gmap
+from gs_slam_analytica_jacobian_tpu.models.gaussian_map import PARAM_FIELDS
+from gs_slam_analytica_jacobian_tpu.ops import renderer_ref, losses
+from gs_slam_analytica_jacobian_tpu.parallel.sharding import make_mesh
+from gs_slam_analytica_jacobian_tpu.parallel import slab
+
+
+@pytest.fixture(scope="module")
+def scene(request):
+    rng = np.random.default_rng(7)
+    W, H = 64, 48
+    cam = Camera.create(np.eye(3), np.zeros(3), 44.0, 44.0,
+                        (W - 1) / 2, (H - 1) / 2, W, H)
+    n, C = 180, 256
+    gm = gmap.from_numpy(
+        xyz=np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n),
+                      rng.uniform(0.5, 3.5, n)], -1).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3,
+        features_rest=np.zeros((n, 0, 3), np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32) * 0.3 - 2.0,
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32) + 0.5,
+        max_sh_degree=0, capacity=C)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    return cam, gm, bg
+
+
+def single_device_render(gm, cam, bg):
+    return renderer_ref.render(
+        gm.xyz, gm.get_cov6(), gm.get_opacity(), gm.get_features(),
+        gm.active_sh_degree, cam.w2c(), cam.projection(),
+        jnp.zeros((6,), jnp.float32), cam.fx, cam.fy, cam.width,
+        cam.height, cam.tanfovx, cam.tanfovy, bg, active=gm.active)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_slab_render_matches_single_device(scene):
+    cam, gm, bg = scene
+    mesh = make_mesh(8)
+    color8, depth8, opac8 = slab.slab_render(mesh, gm, cam, bg)
+    ref = single_device_render(gm, cam, bg)
+    np.testing.assert_allclose(np.asarray(color8), np.asarray(ref.color),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(depth8), np.asarray(ref.depth),
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(opac8), np.asarray(ref.opacity),
+                               atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_slab_mapping_grads_match_single_device(scene):
+    cam, gm, bg = scene
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    gt_image = jnp.asarray(
+        rng.uniform(size=(3, cam.height, cam.width)).astype(np.float32))
+    gt_depth = jnp.asarray(
+        rng.uniform(0.5, 3.0, size=(1, cam.height, cam.width))
+        .astype(np.float32))
+
+    loss8, grads8 = slab.slab_mapping_loss_and_grads(
+        mesh, gm, cam, gt_image, gt_depth, bg)
+
+    def loss_single(params):
+        gm_p = gm.replace(**params)
+        out = single_device_render(gm_p, cam, bg)
+        return losses.loss_mapping_rgbd(
+            out.color, out.depth, gt_image, gt_depth, 0.01, 0.95)
+
+    params = {f: getattr(gm, f) for f in PARAM_FIELDS}
+    loss1, grads1 = jax.value_and_grad(loss_single)(params)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=3e-4)
+    for f in PARAM_FIELDS:
+        a, b = np.asarray(grads8[f]), np.asarray(grads1[f])
+        if b.size == 0:
+            continue
+        scale = np.maximum(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3,
+                                   err_msg=f)
