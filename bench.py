@@ -158,20 +158,38 @@ def main():
         gm = gmap.from_numpy(**make_room_map(N, rng), max_sh_degree=0)
 
     bg = jnp.zeros(3)
-    # Ground-truth frame: render from a reference pose
-    out_gt = render(gm, cam, None, bg, pair_capacity=PAIR_CAP)
-    gt_image = jnp.clip(out_gt.color, 0, 1)
-    gt_depth = out_gt.depth
-    overflow = int(out_gt.overflow)
-    grad_mask = jnp.ones((1, H, W))
 
-    # Start pose: perturbed like an inter-frame motion
-    tau = np.zeros(6, np.float32)
-    tau[:3] = [0.01, -0.008, 0.012]
-    tau[3:] = [0.004, 0.006, -0.003]
-    T0 = np.asarray(se3_exp(jnp.asarray(tau)))
-    R0 = jnp.asarray(T0[:3, :3], jnp.float32)
-    t0 = jnp.asarray(T0[:3, 3], jnp.float32)
+    # A short camera TRAJECTORY through the room: per-frame motion
+    # ~6 mm + 4 mrad (Replica-like inter-frame magnitude at full frame
+    # rate). Each frame is tracked warm-started from the previous
+    # ESTIMATE — exactly the frontend's per-frame workload (reference
+    # slam_frontend.py:128-196), including cross-frame curvature reuse
+    # for the pyr tracker. BENCH_STEP_SCALE stresses larger motions.
+    F = int(os.environ.get("BENCH_FRAMES", 5))
+    step_scale = float(os.environ.get("BENCH_STEP_SCALE", 1.0))
+    tau_step = step_scale * np.array(
+        [0.0035, -0.0028, 0.0042, 0.002, 0.003, -0.0015], np.float32)
+    poses = [np.eye(4, dtype=np.float32)]
+    for k in range(1, F):
+        step = tau_step * (1.0 + 0.1 * np.sin(k))
+        poses.append(np.asarray(se3_exp(jnp.asarray(step))) @ poses[-1])
+
+    from gs_slam_analytica_jacobian_tpu.ops import losses as loss_ops
+    gts = []
+    overflow = 0
+    for T in poses:
+        c = cam.replace(R=jnp.asarray(T[:3, :3]), t=jnp.asarray(T[:3, 3]))
+        out_gt = render(gm, c, None, bg, pair_capacity=PAIR_CAP)
+        img = jnp.clip(out_gt.color, 0, 1)
+        # the reference ALWAYS tracks under the Scharr edge mask
+        # (slam_frontend.py:173-175 via camera_utils.py:115-144) — it
+        # exists precisely to drop flat-region texture noise from the
+        # photometric term
+        mask = loss_ops.compute_grad_mask(
+            img.mean(axis=0, keepdims=True), edge_threshold=1.1,
+            dataset_type="replica")
+        gts.append((img, out_gt.depth, mask))
+        overflow = max(overflow, int(out_gt.overflow))
 
     tracker = os.environ.get("BENCH_TRACKER", "pyr")
     track_fn = {"gn": tracking.track_frame_gn,
@@ -197,31 +215,54 @@ def main():
             kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
         if "BENCH_SIGMA_DECAY" in os.environ:
             kw["sigma_decay"] = float(os.environ["BENCH_SIGMA_DECAY"])
+    reuse_H = (tracker == "pyr"
+               and os.environ.get("BENCH_REUSE_H", "1") == "1")
 
-    def run_once(t_start):
+    def track_one(k, R_start, t_start, H_in):
+        kw_k = dict(kw)
+        if tracker == "pyr":
+            kw_k["H_in"] = H_in
         return track_fn(
-            gm, cam, R0, t_start,
-            gt_image, gt_depth, grad_mask, bg,
+            gm, cam, R_start, t_start,
+            gts[k][0], gts[k][1], gts[k][2], bg,
             lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
-            max_iters=max_iters, pair_capacity=PAIR_CAP, **kw)
+            max_iters=max_iters, pair_capacity=PAIR_CAP, **kw_k)
 
     def sync(x):
         return float(jnp.sum(x.ravel()[:1]))
 
-    # warmup/compile
-    res = run_once(t0)
-    sync(res[0])
-    iters = int(res[4])
+    def run_sequence(eps, collect=False):
+        """Track frames 1..F-1 warm-started from the previous estimate.
+        ``eps`` injects a data dependence so the tunnel cannot dedup
+        repetitions; host pulls (errors/iters) only when ``collect`` —
+        the timed passes must stay free of device->host round trips."""
+        R_est = jnp.asarray(poses[0][:3, :3])
+        t_est = jnp.asarray(poses[0][:3, 3]) + eps
+        H_carry = None
+        errs, iters_tot = [], 0
+        for k in range(1, F):
+            res = track_one(k, R_est, t_est,
+                            H_carry if (reuse_H and k > 1) else None)
+            R_est, t_est = res[0], res[1]
+            if tracker == "pyr" and reuse_H:
+                H_carry = res[7]
+            if collect:
+                iters_tot += int(res[4])
+                errs.append(float(jnp.linalg.norm(
+                    t_est - jnp.asarray(poses[k][:3, 3]))))
+        return errs, iters_tot, t_est
 
-    n_rep = int(os.environ.get("BENCH_REPS", 5))
-    t_start = t0
+    # warmup / compile (both H_in variants) + accuracy collection
+    errs, iters_tot, t_last = run_sequence(jnp.zeros(3), collect=True)
+
+    n_rep = int(os.environ.get("BENCH_REPS", 3))
+    eps = jnp.zeros(3)
     t_begin = time.time()
     for _ in range(n_rep):
-        res = run_once(t_start)
-        # data-dependent chain; 1e-30 perturbation, no convergence effect
-        t_start = t0 + res[1] * 1e-30
-    sync(res[0])
-    dt = (time.time() - t_begin) / n_rep
+        _, _, t_last = run_sequence(eps)
+        eps = t_last * 1e-30
+    sync(t_last)
+    dt = (time.time() - t_begin) / (n_rep * (F - 1))
     fps = 1.0 / dt
 
     print(json.dumps({
@@ -231,14 +272,15 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "detail": {
             "n_gaussians": N, "resolution": f"{W}x{H}",
-            "iters_to_converge": iters,
+            "frames": F - 1,
+            "iters_per_frame": round(iters_tot / (F - 1), 2),
             "ms_per_frame": round(dt * 1000, 2),
-            "ms_per_iter": round(dt * 1000 / max(iters, 1), 3),
             "pair_capacity": PAIR_CAP,
             "gt_render_overflow": overflow,
             "tracker": tracker,
-            "final_pose_err_m": round(float(
-                np.linalg.norm(np.asarray(res[1]))), 6),
+            "reuse_H": reuse_H,
+            "pose_err_mean_m": round(float(np.mean(errs)), 6),
+            "pose_err_max_m": round(float(np.max(errs)), 6),
         },
     }))
 

@@ -80,6 +80,11 @@ class FrontEnd:
         self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 2)))
         self.pyr_curv = T.get("pyr_curv", "fd")
         self.pyr_probes = T.get("pyr_probes", "coarse")
+        # cross-frame curvature reuse: re-run the FD probes every N frames
+        # (0 disables reuse); invalidated when tracking hits max iters
+        self.pyr_reprobe = int(T.get("pyr_reprobe", 5))
+        self._H_cache = None
+        self._H_age = 0
         # bf16 kernels measured numerically fine but not faster as
         # implemented (PERF.md) — opt-in
         self.kernel_bf16 = bool(T.get("kernel_bf16", False))
@@ -188,11 +193,15 @@ class FrontEnd:
             if levels[-1] != 1:
                 levels.append(1)
                 iters.append(2)
+            reuse_H = (self.pyr_reprobe > 0 and self._H_cache is not None
+                       and self._H_age < self.pyr_reprobe
+                       and len(self._H_cache) == len(levels))
             kw = dict(levels=tuple(levels), level_iters=tuple(iters),
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
-                                   and not self.use_oracle))
-        (R, t, ea, eb, iters, out, med) = track_fn(
+                                   and not self.use_oracle),
+                      H_in=self._H_cache if reuse_H else None)
+        res = track_fn(
             self.gm, self.cam,
             jnp.asarray(prev.R), jnp.asarray(prev.t),
             jnp.asarray(rec.gt_image), jnp.asarray(gt_depth),
@@ -202,6 +211,13 @@ class FrontEnd:
             max_iters=max_iters,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle, **kw)
+        R, t, ea, eb, iters, out, med = res[:7]
+        if self.tracker == "pyr":
+            if kw["H_in"] is None:
+                self._H_cache = res[7]
+                self._H_age = 0
+            else:
+                self._H_age += 1
         rec.R, rec.t = np.asarray(R), np.asarray(t)
         rec.exposure_a, rec.exposure_b = float(ea), float(eb)
         self.median_depth = float(med)

@@ -441,6 +441,7 @@ def _gn_level(
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
     sigma_in=None,
+    step_cap: float = 0.05,
 ):
     """One pyramid level of IRLS Gauss-Newton pose refinement.
 
@@ -599,10 +600,13 @@ def _gn_level(
                            trust * 0.4)
 
         delta = jnp.linalg.solve(HB2, gB2) * trust2
-        # pose-step safety clamp (5 cm / 50 mrad): the sigma-floored H can
-        # overshoot on the very first steps; the basin is never that wide
+        # pose-step cap: a quadratic-model step larger than the texture
+        # wiggle scale can jump across the true basin into an adjacent
+        # lower-loss valley (measured on the textured room sequence);
+        # bounded steps recover the subgradient-descent robustness the
+        # reference's Adam loop gets from its small learning rates.
         pn = jnp.linalg.norm(delta[:6])
-        delta = delta * jnp.minimum(1.0, 0.05 / jnp.maximum(pn, 1e-12))
+        delta = delta * jnp.minimum(1.0, step_cap / jnp.maximum(pn, 1e-12))
         new_tau = -delta[:6]
         # SELF-SCALED trust floor for the NEXT linearization: residuals are
         # trusted only up to the image change a last-step-sized motion
@@ -637,8 +641,8 @@ def _gn_level(
     jax.jit,
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
                      "curv", "kernel_bf16", "sigma0",
-                     "sigma_decay", "pair_capacity", "interpret",
-                     "use_oracle"))
+                     "sigma_decay", "step_cap", "pair_capacity",
+                     "interpret", "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -664,6 +668,8 @@ def track_frame_pyr(
     kernel_bf16: bool = False,
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
+    step_cap: float = 0.05,
+    H_in=None,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -690,9 +696,11 @@ def track_frame_pyr(
     H_prev = None
     plan_s1 = None
     sigma_prev = None
+    H_out = []
 
-    for s, iters_l in zip(levels, level_iters):
+    for li, (s, iters_l) in enumerate(zip(levels, level_iters)):
         if iters_l <= 0:
+            H_out.append(jnp.eye(8) if H_in is None else H_in[li])
             continue
         cam_l = _cam_level(cam_template, s)
         if s == 1:
@@ -702,27 +710,38 @@ def track_frame_pyr(
             gt_d = _stride_center(gt_depth, s)
             gm_l = _pool_max(grad_mask, s)
         cap_l = pair_capacity if s == 1 else max(1 << 16, pair_capacity // 2)
-        if curv == "flow":
+        if H_in is not None and curv != "flow":
+            # cross-frame curvature reuse: viewpoints move slowly, so the
+            # previous frame's per-level normal matrices stay valid
+            # preconditioners; the frontend re-probes every few frames
+            probes_here = False
+            H_frozen = H_in[li]
+        elif curv == "flow":
             probes_here = True       # flow curvature is per-iteration free
+            H_frozen = None
         elif probe_levels == "first":
             probes_here = H_prev is None
+            H_frozen = None if probes_here else H_prev
         elif probe_levels == "all":
             # fresh FD probes at EVERY level, including full res: the
-            # warm-started fine levels re-linearize near the optimum,
-            # which removes the stale-J accuracy floor (~3-7 mm measured
-            # when the finest level inherits a coarse-level H)
+            # warm-started fine levels re-linearize near the optimum
+            # (measured: does not move the ~4 mm floor — kept as an option)
             probes_here = True
+            H_frozen = None
         else:  # "coarse": re-probe at every level except the finest
             probes_here = s > 1 or H_prev is None
+            H_frozen = None if probes_here else H_prev
         R, t, ea, eb, itr_l, H_prev, plan_l, sigma_prev = _gn_level(
             gm, cam_l, R, t, ea, eb, gt_i, gt_d, gm_l, bg,
             rgb_boundary_threshold, alpha, monocular, iters_l, cap_l,
             interpret, use_oracle, fd_eps, lm_lambda,
             radius_pad=max(2.0, 8.0 / s),
-            H_frozen=None if probes_here else H_prev, curv=curv,
+            H_frozen=H_frozen, curv=curv,
             bf16=kernel_bf16, sigma0=sigma0,
-            sigma_decay=sigma_decay, sigma_in=sigma_prev)
+            sigma_decay=sigma_decay, sigma_in=sigma_prev,
+            step_cap=step_cap)
         total_iters = total_iters + itr_l
+        H_out.append(H_prev)
         if s == 1:
             plan_s1 = plan_l
 
@@ -733,4 +752,4 @@ def track_frame_pyr(
                  interpret=interpret, use_oracle=use_oracle,
                  plan=plan_s1)
     med = losses.median_depth(out.depth, out.opacity)
-    return R, t, ea, eb, total_iters, out, med
+    return R, t, ea, eb, total_iters, out, med, tuple(H_out)
