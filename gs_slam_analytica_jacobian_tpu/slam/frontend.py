@@ -77,7 +77,7 @@ class FrontEnd:
         # (slam_frontend.py:132-162, up to tracking_itr_num iters).
         self.tracker = T.get("tracker", "pyr")
         self.pyr_levels = tuple(T.get("pyr_levels", (4, 2, 1)))
-        self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 2)))
+        self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 12)))
         self.pyr_curv = T.get("pyr_curv", "fd")
         self.pyr_probes = T.get("pyr_probes", "coarse")
         # cross-frame curvature reuse: re-run the FD probes every N frames

@@ -662,7 +662,7 @@ def track_frame_pyr(
     fd_eps: float = 1e-3,
     lm_lambda: float = 1e-2,
     levels: tuple = (4, 2, 1),
-    level_iters: tuple = (5, 3, 2),
+    level_iters: tuple = (5, 3, 12),
     probe_levels: str = "coarse",
     curv: str = "fd",
     kernel_bf16: bool = False,

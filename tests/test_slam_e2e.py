@@ -36,6 +36,9 @@ def small_config(single_thread=True):
     T["init_gaussian_update"] = 16
     T["init_gaussian_reset"] = 5000
     T["tracking_itr_num"] = 8
+    # small scenes track easily; cap the pyramid budget so the interpret-
+    # mode suite stays fast (the 80x48 image clamps to the s=1 level)
+    T["pyr_iters"] = [4, 2, 6]
     T["mapping_itr_num"] = 8
     T["gaussian_update_every"] = 25
     T["gaussian_update_offset"] = 7
@@ -76,6 +79,7 @@ def test_slam_smoke_fast():
     T["init_itr_num"] = 8
     T["init_gaussian_update"] = 8
     T["tracking_itr_num"] = 5
+    T["pyr_iters"] = [4, 2, 4]
     T["mapping_itr_num"] = 4
     T["initial_capacity"] = 4096
     cfg["Dataset"]["n_frames"] = 5
