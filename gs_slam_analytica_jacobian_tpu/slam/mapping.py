@@ -142,7 +142,7 @@ def _mapping_iter(
             pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
             out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
                          pair_capacity=pair_capacity, interpret=interpret,
-                         use_oracle=use_oracle)
+                         use_oracle=use_oracle, need_n_touched=False)
             if initialization:
                 image_ab = out.color
             else:
@@ -155,12 +155,17 @@ def _mapping_iter(
                     image_ab, out.depth, gt_i, gt_d,
                     rgb_boundary_threshold, alpha)
             L = jnp.where(vf, L, 0.0)
-            return carry + L, (out.n_touched, out.radii)
+            # n_touched is NOT computed in the optimization iterations —
+            # it is only consumed post-batch (visibility/covisibility,
+            # slam_backend.py:236-240), so mapping_steps renders it once
+            # at the final state instead of paying the per-chunk touch
+            # DMA every iteration
+            return carry + L, out.radii
 
-        total, (nt, radii) = jax.lax.scan(
+        total, radii = jax.lax.scan(
             frame_loss, jnp.zeros(()),
             (idxs, taus, exp_a, exp_b, valids, mean2d_offsets))
-        return total, (nt, radii)
+        return total, radii
 
     def loss_fn(params, taus, exp_a, exp_b, mean2d_offsets):
         total, aux = frames_loss(params, gm, store, window_idx, taus,
@@ -174,7 +179,7 @@ def _mapping_iter(
     taus0 = jnp.zeros((F, 6))
     offsets0 = jnp.zeros((F, C, 2))
     if mesh is None:
-        (loss_val, (nt, radii)), (g_params, g_tau, g_ea, g_eb, g_off) = (
+        (loss_val, radii), (g_params, g_tau, g_ea, g_eb, g_off) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
                                has_aux=True)(
                 params, taus0, exp_a_w, exp_b_w, offsets0))
@@ -197,12 +202,12 @@ def _mapping_iter(
                     params, tau_sh, ea_sh, eb_sh, off_sh)
             return loss, aux, grads
 
-        loss_val, (nt, radii), (g_params, g_tau, g_ea, g_eb, g_off) = (
+        loss_val, radii, (g_params, g_tau, g_ea, g_eb, g_off) = (
             jax.shard_map(
                 shard_step, mesh=mesh,
                 in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
                           P("data"), P("data"), P("data")),
-                out_specs=(P(), (P("data"), P("data")),
+                out_specs=(P(), P("data"),
                            (P(), P("data"), P("data"), P("data"),
                             P("data"))),
                 check_vma=False,
@@ -272,7 +277,8 @@ def _mapping_iter(
 
     return MapStepOut(gm=gm_out, gm_adam=new_gm_adam, store=new_store,
                       pose_adam=new_pose_adam, loss=loss_val,
-                      n_touched=nt, radii=radii)
+                      n_touched=jnp.zeros((F, gm.capacity), jnp.int32),
+                      radii=radii)
 
 
 @functools.partial(
@@ -330,6 +336,17 @@ def mapping_steps(
     (gm_f, adam_f, store_f, pose_f, nt_f, r_f), losses_t = jax.lax.scan(
         body, (gm, gm_adam, store, pose_adam, nt0, r0),
         (window_idx, xyz_lrs))
+
+    # n_touched once, at the FINAL state (its consumers — occ-aware
+    # visibility, covisibility pruning, keyframe overlap — all run after
+    # the batch; reference slam_backend.py:236-240 uses the last render's)
+    def nt_frame(idx):
+        cam = cam_template.replace(R=store_f.R[idx], t=store_f.t[idx])
+        out = render(gm_f, cam, None, bg, pair_capacity=pair_capacity,
+                     interpret=interpret, use_oracle=use_oracle)
+        return out.n_touched
+
+    nt_f = jax.lax.map(nt_frame, window_idx[-1])
     return MapStepOut(gm=gm_f, gm_adam=adam_f, store=store_f,
                       pose_adam=pose_f, loss=losses_t[-1],
                       n_touched=nt_f, radii=r_f)
