@@ -82,7 +82,8 @@ def plan_pairs(
     n_tiles = n_tx * n_ty
     B_al = capacity + n_tiles * chunk
 
-    alive = prep.valid & (prep.radius_xy[:, 0] > 0.0)
+    alive = (prep.valid & (prep.radius_xy[:, 0] > 0.0)
+             & (prep.radius_xy[:, 1] > 0.0))
     rx = jnp.where(alive, prep.radius_xy[:, 0] * radius_scale + radius_pad,
                    0.0)
     ry = jnp.where(alive, prep.radius_xy[:, 1] * radius_scale + radius_pad,

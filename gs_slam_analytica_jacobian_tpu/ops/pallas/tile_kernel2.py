@@ -122,6 +122,12 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
         power_b = (-0.5 * (ca.astype(b) * dxb * dxb
                            + cc.astype(b) * dyb * dyb)
                    - cb.astype(b) * dxb * dyb)
+        # bf16 cancellation between the ca/cc and cb terms can round a true
+        # tiny-negative power to positive along a thin splat's long axis —
+        # clamp to <=0 (the quadratic form is PSD by construction: cov2d
+        # carries the +0.3 low-pass dilation, so eigenvalues >= 0.3; the
+        # f32 path keeps the CUDA power>0 guard for exact parity).
+        power_b = jnp.minimum(power_b, 0.0)
         a_un_b = opa.astype(b) * jnp.exp(power_b)
         power = power_b.astype(jnp.float32)
         a_un = a_un_b.astype(jnp.float32)

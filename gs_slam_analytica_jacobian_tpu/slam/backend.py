@@ -147,7 +147,11 @@ class BackEnd:
         slot = self.uid_to_slot.get(frame_idx)
         if slot is None:
             slot = len(self.uid_to_slot)
-            assert slot < self.kf_capacity, "KF store full"
+            if slot >= self.kf_capacity:
+                self.kf_capacity *= 2
+                Log(f"Growing KF store to {self.kf_capacity}",
+                    tag="Backend")
+                self.store = self.store.grow(self.kf_capacity)
             self.uid_to_slot[frame_idx] = slot
         gt_depth_arr = (jnp.zeros((1, self.cam.height, self.cam.width))
                         if gt_depth is None else jnp.asarray(gt_depth))

@@ -213,7 +213,13 @@ class FrontEnd:
             use_oracle=self.use_oracle, **kw)
         R, t, ea, eb, iters, out, med = res[:7]
         if self.tracker == "pyr":
-            if kw["H_in"] is None:
+            if int(iters) >= sum(kw["level_iters"]):
+                # rail-stopped at the iteration cap on every level: the
+                # linearization the cached H came from is suspect — force
+                # fresh FD probes on the next frame
+                self._H_cache = None
+                self._H_age = 0
+            elif kw["H_in"] is None:
                 self._H_cache = res[7]
                 self._H_age = 0
             else:
@@ -330,6 +336,10 @@ class FrontEnd:
                        self.backend.keyframe_poses())
         gm, occ, kf_poses = payload
         self.gm = gm
+        # the map changed (densify/prune/optimize): cached tracking
+        # curvature no longer matches the rendered scene
+        self._H_cache = None
+        self._H_age = 0
         self.occ_aware_visibility = dict(occ)
         for uid, R, t in kf_poses:
             if uid in self.frames:

@@ -67,6 +67,27 @@ class KFStore:
             uid=jnp.full((capacity,), -1, jnp.int32),
         )
 
+    def grow(self, new_capacity: int) -> "KFStore":
+        """Double-style host-side growth (like GaussianMap.grow): pad every
+        array with empty slots. Replaces the round-1 hard capacity wall."""
+        old = self.valid.shape[0]
+        pad = new_capacity - old
+        if pad <= 0:
+            return self
+        return KFStore(
+            R=jnp.concatenate(
+                [self.R, jnp.tile(jnp.eye(3)[None], (pad, 1, 1))]),
+            t=jnp.concatenate([self.t, jnp.zeros((pad, 3))]),
+            exposure_a=jnp.concatenate([self.exposure_a, jnp.zeros((pad,))]),
+            exposure_b=jnp.concatenate([self.exposure_b, jnp.zeros((pad,))]),
+            gt_image=jnp.concatenate(
+                [self.gt_image, jnp.zeros((pad,) + self.gt_image.shape[1:])]),
+            gt_depth=jnp.concatenate(
+                [self.gt_depth, jnp.zeros((pad,) + self.gt_depth.shape[1:])]),
+            valid=jnp.concatenate([self.valid, jnp.zeros((pad,), bool)]),
+            uid=jnp.concatenate([self.uid, jnp.full((pad,), -1, jnp.int32)]),
+        )
+
     def add(self, slot: int, R, t, exposure_a, exposure_b, gt_image,
             gt_depth, uid: int) -> "KFStore":
         return dataclasses.replace(

@@ -177,11 +177,24 @@ def _pool_max(x: jnp.ndarray, s: int) -> jnp.ndarray:
 
 
 def _stride_center(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """(C, H, W) nearest (block-center) subsample — used for depth, where
-    averaging across discontinuities would fabricate gt surfaces."""
+    """(C, H, W) block-center subsample — used for depth, where a full
+    block average across discontinuities would fabricate gt surfaces.
+
+    The level camera (_cam_level) places the level pixel center at input
+    offset (s-1)/2. For odd s that is an exact sample; for even s it falls
+    between two samples, so the 2x2 center block is averaged (a half-pixel
+    of parallax at worst, vs the half-input-pixel bias a single off-center
+    sample would carry into every coarse-level depth residual)."""
     c, h, w = x.shape
     hs, ws = h // s, w // s
-    return x[:, s // 2::s, s // 2::s][:, :hs, :ws]
+    if s % 2 == 1:
+        return x[:, s // 2::s, s // 2::s][:, :hs, :ws]
+    a = x[:, s // 2 - 1::s, :][:, :hs]
+    b = x[:, s // 2::s, :][:, :hs]
+    xr = 0.5 * (a + b)
+    a = xr[:, :, s // 2 - 1::s][:, :, :ws]
+    b = xr[:, :, s // 2::s][:, :, :ws]
+    return 0.5 * (a + b)
 
 
 def _cam_level(cam: Camera, s: int) -> Camera:

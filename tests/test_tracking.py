@@ -30,7 +30,13 @@ def test_pyramid_pooling_helpers():
     np.testing.assert_allclose(
         np.asarray(a[0, 0, 0]), np.mean([0, 1, 12, 13]))
     np.testing.assert_allclose(np.asarray(m[0, 0, 0]), 13.0)
-    np.testing.assert_allclose(np.asarray(s[0, 0, 0]), 13.0)  # center (1,1)
+    # even s: 2x2 center-block average, aligned with the level camera's
+    # pixel center at input offset (s-1)/2 = 0.5
+    np.testing.assert_allclose(
+        np.asarray(s[0, 0, 0]), np.mean([0, 1, 12, 13]))
+    # odd s: exact center sample
+    s3 = tracking._stride_center(x[:, :6, :12], 3)
+    np.testing.assert_allclose(np.asarray(s3[0, 0, 0]), 13.0)  # (1,1)
 
 
 def test_cam_level_scaling():
