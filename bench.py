@@ -205,12 +205,17 @@ def main():
         if "BENCH_ITERS" in os.environ:
             kw["level_iters"] = tuple(
                 int(x) for x in os.environ["BENCH_ITERS"].split(","))
+        if "BENCH_EXACT" in os.environ:
+            kw["level_exact"] = tuple(
+                int(x) for x in os.environ["BENCH_EXACT"].split(","))
         if "BENCH_PROBES" in os.environ:
             kw["probe_levels"] = os.environ["BENCH_PROBES"]
         if "BENCH_CURV" in os.environ:
             kw["curv"] = os.environ["BENCH_CURV"]
         if os.environ.get("BENCH_BF16") == "1":
             kw["kernel_bf16"] = True
+        if os.environ.get("BENCH_TILE16") == "1":
+            kw["tile16"] = True
         if "BENCH_SIGMA0" in os.environ:
             kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
         if "BENCH_SIGMA_DECAY" in os.environ:

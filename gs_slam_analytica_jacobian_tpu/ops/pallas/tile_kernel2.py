@@ -172,6 +172,15 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False):
                 feat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
                 feat_vmem.at[slot], sem_in.at[slot])
 
+        if with_ntouch:
+            def nt_dma(c):
+                slot = jax.lax.rem(c, 2)
+                return pltpu.make_async_copy(
+                    nt_vmem.at[slot],
+                    ntouch_hbm.at[:, pl.ds(
+                        pl.multiple_of(start + c * K, K), K)],
+                    sem_out.at[slot])
+
         @pl.when(n_chunks > 0)
         def _():
             dma_in(0).start()
@@ -219,14 +228,22 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False):
                 nt = jnp.sum(
                     jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0),
                     axis=1, keepdims=True)                    # (K, 1)
-                nt_vmem[0:1, :] = jnp.transpose(nt)
-                cp_out = pltpu.make_async_copy(
-                    nt_vmem,
-                    ntouch_hbm.at[:, pl.ds(
-                        pl.multiple_of(start + c * K, K), K)],
-                    sem_out)
-                cp_out.start()
-                cp_out.wait()
+                nt_t = jnp.transpose(nt)
+                slot_o = jax.lax.rem(c, 2)
+
+                @pl.when(c >= 2)
+                def _():
+                    nt_dma(c - 2).wait()
+
+                @pl.when(slot_o == 0)
+                def _():
+                    nt_vmem[0] = nt_t
+
+                @pl.when(slot_o == 1)
+                def _():
+                    nt_vmem[1] = nt_t
+
+                nt_dma(c).start()
             return c + 1, (new_T, new_done, acc)
 
         T0 = jnp.ones((1, P), f32)
@@ -245,8 +262,20 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False):
         def _():
             dma_in(c_end).wait()
 
-        out = jnp.concatenate(
-            [acc_f, T_f, jnp.zeros((1, P), f32)], axis=0)     # (6, P)
+        if with_ntouch:
+            @pl.when(c_end >= 2)
+            def _():
+                nt_dma(c_end - 2).wait()
+
+            @pl.when(c_end >= 1)
+            def _():
+                nt_dma(c_end - 1).wait()
+
+        # channel 5 is spare in the render output — carry the number of
+        # chunks this tile actually processed (early-exit diagnostics,
+        # read by scripts/profile_kernels.py via chunk_stats_from_img)
+        stats = jnp.full((1, P), c_end, f32)
+        out = jnp.concatenate([acc_f, T_f, stats], axis=0)    # (6, P)
         img_ref[:, :, :] = out.reshape(6, 8, 128)
 
     return kernel
@@ -283,6 +312,13 @@ def make_backward_kernel(n_tx, W, H, bf16=False):
             return pltpu.make_async_copy(
                 feat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
                 feat_vmem.at[slot], sem_in.at[slot])
+
+        def out_dma(c):
+            slot = jax.lax.rem(c, 2)
+            return pltpu.make_async_copy(
+                dgrad_vmem.at[slot],
+                dfeat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
+                sem_out.at[slot])
 
         @pl.when(n_chunks > 0)
         def _():
@@ -384,13 +420,26 @@ def make_backward_kernel(n_tx, W, H, bf16=False):
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_opa, d_colors, d_depths,
                  jnp.zeros((K, FEAT_DIM - 10), f32)], axis=1)
             dgrad = jnp.where(row_ok, dgrad, 0.0)
-            dgrad_vmem[:, :] = jnp.transpose(dgrad)           # (FEAT_DIM, K)
-            cp_out = pltpu.make_async_copy(
-                dgrad_vmem,
-                dfeat_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, K), K)],
-                sem_out)
-            cp_out.start()
-            cp_out.wait()
+            dgrad_t = jnp.transpose(dgrad)                    # (FEAT_DIM, K)
+            # double-buffered output DMA: only wait before REUSING a slot
+            # (two chunks later) instead of synchronously after every
+            # chunk — the grid is sequential on the single TensorCore, so
+            # each removed wait comes straight off the critical path.
+            slot_o = jax.lax.rem(c, 2)
+
+            @pl.when(c >= 2)
+            def _():
+                out_dma(c - 2).wait()
+
+            @pl.when(slot_o == 0)
+            def _():
+                dgrad_vmem[0] = dgrad_t
+
+            @pl.when(slot_o == 1)
+            def _():
+                dgrad_vmem[1] = dgrad_t
+
+            out_dma(c).start()
 
             new_T = jnp.minimum(
                 T_carry,
@@ -415,6 +464,15 @@ def make_backward_kernel(n_tx, W, H, bf16=False):
         def _():
             dma_in(c_end).wait()
 
+        # drain the (up to two) in-flight output copies
+        @pl.when(c_end >= 2)
+        def _():
+            out_dma(c_end - 2).wait()
+
+        @pl.when(c_end >= 1)
+        def _():
+            out_dma(c_end - 1).wait()
+
     return kernel
 
 
@@ -432,6 +490,13 @@ def assemble_image(img_blocks, n_tx, n_ty, W, H):
     x = jnp.transpose(x, (0, 1, 2, 4, 3, 5))      # (C, n_ty, 8, 4, n_tx, 32)
     x = x.reshape(C, n_ty * TPY, n_tx * TPX)
     return x[:, :H, :W]
+
+
+def chunk_stats_from_img(img_blocks, n_tx, n_ty):
+    """(6, n_ty*8, n_tx*128) raw kernel output -> (n_ty, n_tx) number of
+    K-pair chunks each tile actually processed (early-exit diagnostics;
+    channel 5 carries the loop counter at exit)."""
+    return img_blocks[5, ::8, ::128]
 
 
 def disassemble_image(img, n_tx, n_ty):
@@ -465,9 +530,9 @@ def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
             out_specs=[img_spec, pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
-                pltpu.VMEM((1, K), jnp.float32),
+                pltpu.VMEM((2, 1, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         img, ntouch = pl.pallas_call(
@@ -522,9 +587,9 @@ def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
-            pltpu.VMEM((FEAT_DIM, K), jnp.float32),
+            pltpu.VMEM((2, FEAT_DIM, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dfeat_v = pl.pallas_call(

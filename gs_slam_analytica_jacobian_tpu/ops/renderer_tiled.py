@@ -31,6 +31,7 @@ from .binning2 import FEAT_DIM, PairPlan, plan_pairs
 from .gaussian_math import Preprocessed, preprocess
 from .pair_gather import pair_gather, segment_reduce_pairs
 from .pallas.tile_kernel2 import TPX, TPY, K, composite32, grid_dims
+from .pallas.tile_kernel3 import TS, composite16, grid_dims16
 from .renderer_ref import RenderOutput
 
 # kept for backward compatibility with round-1 naming
@@ -73,11 +74,20 @@ def make_plan(
     active: Optional[jnp.ndarray] = None,
     radius_scale: float = 1.0,
     radius_pad: float = 0.0,
+    tile16: bool = False,
 ) -> PairPlan:
-    """Bin Gaussians into a reusable PairPlan (non-differentiable)."""
-    n_tx, n_ty = grid_dims(width, height)
+    """Bin Gaussians into a reusable PairPlan (non-differentiable).
+
+    ``tile16`` bins at 16x16 (for the v3 subtile kernel — roughly 2x the
+    pairs at 1/4 the lanes each; see pallas/tile_kernel3.py)."""
     if active is not None:
         prep = prep._replace(valid=prep.valid & active)
+    if tile16:
+        n_gx, n_gy = grid_dims16(width, height)
+        return plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy, pair_capacity,
+                          chunk=K, radius_scale=radius_scale,
+                          radius_pad=radius_pad)
+    n_tx, n_ty = grid_dims(width, height)
     return plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity, chunk=K,
                       radius_scale=radius_scale, radius_pad=radius_pad)
 
@@ -86,7 +96,7 @@ def make_plan(
     jax.jit,
     static_argnames=("sh_degree", "fx", "fy", "width", "height",
                      "tanfovx", "tanfovy", "pair_capacity", "interpret",
-                     "need_n_touched", "bf16"))
+                     "need_n_touched", "bf16", "tile16"))
 def render(
     means3d: jnp.ndarray,
     cov6: jnp.ndarray,
@@ -107,9 +117,8 @@ def render(
     plan: Optional[PairPlan] = None,
     need_n_touched: bool = True,
     bf16: bool = False,
+    tile16: bool = False,
 ) -> RenderOutput:
-    n_tx, n_ty = grid_dims(width, height)
-
     prep = preprocess(
         means3d, cov6, opacities, shs, sh_degree, w2c, proj, tau,
         fx, fy, width, height, tanfovx, tanfovy,
@@ -120,15 +129,24 @@ def render(
             radius=jnp.where(active, prep.radius, 0.0),
             tiles_touched=jnp.where(active, prep.tiles_touched, 0))
 
-    if plan is None:
-        plan = plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity,
-                          chunk=K)
-
-    table = pack_table(prep)
-    feat = pair_gather(table, plan)
-
-    out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
-                      interpret, need_n_touched, bf16)
+    if tile16:
+        n_gx, n_gy = grid_dims16(width, height)
+        if plan is None:
+            plan = plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy,
+                              pair_capacity, chunk=K)
+        table = pack_table(prep)
+        feat = pair_gather(table, plan)
+        out = composite16(feat, plan.ranges, n_gx, n_gy, width, height,
+                          interpret, need_n_touched, bf16)
+    else:
+        n_tx, n_ty = grid_dims(width, height)
+        if plan is None:
+            plan = plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity,
+                              chunk=K)
+        table = pack_table(prep)
+        feat = pair_gather(table, plan)
+        out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
+                          interpret, need_n_touched, bf16)
 
     color = out.color_sum + out.final_T[None] * bg[:, None, None]
     opacity = 1.0 - out.final_T

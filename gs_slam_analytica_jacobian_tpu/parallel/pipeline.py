@@ -8,11 +8,19 @@ multiprocessing_utils.py:21-31) is a free reference copy between host
 threads, and queue.Queue replaces mp.Queue. The message grammar is kept:
 
   frontend -> backend: ["init", ...] | ["keyframe", ...] | ["color_refinement"]
-                       | ["stop"]
+                       | ["pause"] | ["unpause"] | ["stop"]
   backend -> frontend: ["sync_backend"|"init"|"keyframe", gm,
                         occ_aware_visibility, keyframe_poses]
+  control -> frontend: ["pause"] | ["unpause"]   (the GUI's Packet_vis2main
+                        flag_pause channel, reference slam.py:98-108,
+                        slam_frontend.py:333-343)
 
-(reference slam_frontend.py:288-300, slam_backend.py:355-365).
+(reference slam_frontend.py:288-300, slam_backend.py:355-365.)
+
+Pause semantics mirror the reference: the frontend idles between frames
+while paused (forwarding ["pause"] to the backend, which then skips its
+idle-mapping refinement, slam_backend.py:386-390); ["unpause"] resumes
+both loops where they left off.
 """
 
 from __future__ import annotations
@@ -96,9 +104,10 @@ def backend_loop(backend, backend_queue: queue.Queue,
                             dict(backend.occ_aware_visibility),
                             backend.keyframe_poses()])
 
+    paused = False
     while True:
         if backend_queue.empty():
-            if len(backend.current_window) == 0:
+            if paused or len(backend.current_window) == 0:
                 time.sleep(0.01)
                 continue
             backend.map(backend.current_window)
@@ -110,6 +119,12 @@ def backend_loop(backend, backend_queue: queue.Queue,
             tag = data[0]
             if tag == "stop":
                 break
+            elif tag == "pause":
+                # reference slam_backend.py:386-390: skip idle-mapping
+                # while the visualizer holds the system paused
+                paused = True
+            elif tag == "unpause":
+                paused = False
             elif tag == "color_refinement":
                 backend.color_refinement()
                 push()
@@ -137,12 +152,36 @@ def backend_loop(backend, backend_queue: queue.Queue,
         backend_queue.get()
 
 
-def run_pipelined(frontend, backend, n_frames: int):
-    """Run the SLAM system with the backend on its own host thread."""
+def run_pipelined(frontend, backend, n_frames: int,
+                  control_queue: "queue.Queue | None" = None,
+                  frame_callback=None):
+    """Run the SLAM system with the backend on its own host thread.
+
+    ``control_queue`` is the visualizer->main channel (the reference's
+    q_vis2main, slam.py:98-108): ["pause"] holds the frontend between
+    frames (forwarded to the backend so its idle mapping stops too),
+    ["unpause"] resumes. ``frame_callback(idx)`` fires after each
+    processed frame (used by the live viewer / tests)."""
     backend_queue: queue.Queue = queue.Queue()
     frontend_queue: queue.Queue = queue.Queue()
     link = BackendLink(backend_queue, frontend_queue)
     frontend.link = link
+    frontend.paused = False
+
+    def poll_control(block: bool = False):
+        if control_queue is None:
+            return
+        while True:
+            try:
+                msg = control_queue.get(timeout=0.01) if block \
+                    else control_queue.get_nowait()
+            except queue.Empty:
+                return
+            tag = msg[0]
+            if tag in ("pause", "unpause"):
+                frontend.paused = tag == "pause"
+                backend_queue.put([tag])
+                Log(f"{tag}d by control channel", tag="Frontend")
 
     thread = threading.Thread(
         target=backend_loop, args=(backend, backend_queue, frontend_queue),
@@ -150,7 +189,15 @@ def run_pipelined(frontend, backend, n_frames: int):
     thread.start()
     try:
         for idx in range(n_frames):
+            poll_control()
+            while frontend.paused:
+                # keep adopting backend syncs while held (reference
+                # slam_frontend.py:333-343)
+                link.drain(frontend)
+                poll_control(block=True)
             frontend.process_frame(idx)
+            if frame_callback is not None:
+                frame_callback(idx)
         link.wait_all_keyframes(frontend)
     finally:
         backend_queue.put(["stop"])

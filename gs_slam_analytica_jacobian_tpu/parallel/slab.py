@@ -24,10 +24,11 @@ a <=1e-4 absolute deviation at slab boundaries, below fp32 rendering
 noise. (The per-slab compositing itself applies the full reference
 semantics locally.)
 
-This module uses the jnp oracle compositor per slab (ops/renderer_ref) —
-the clarity path used by the multi-chip tests and dryrun; swapping in the
-tiled Pallas renderer per shard is mechanical (same slab partition, same
-combine) and is the production route for >1M-gaussian maps.
+Per-slab compositing runs either the jnp oracle (ops/renderer_ref, the
+clarity path) or the production tiled Pallas renderer
+(ops/renderer_tiled, ``tiled=True`` — interpret mode on CPU meshes): the
+slab partition and the OVER-combine are identical, so both paths are
+exercised by the multi-chip tests and the dryrun.
 """
 
 from __future__ import annotations
@@ -40,23 +41,28 @@ import jax.nn
 
 from ..models.camera import Camera
 from ..models.gaussian_map import GaussianMap, PARAM_FIELDS, build_cov3d
-from ..ops import renderer_ref
+from ..ops import renderer_ref, renderer_tiled
 from ..ops import losses
 
 
-def _render_slab(params_sh, active_sh, gm: GaussianMap, cam: Camera):
-    """Oracle render of one depth slab from raw (sharded) parameter
-    arrays; returns the PRE-background (color_sum, depth_sum, final_T)."""
+def _render_slab(params_sh, active_sh, gm: GaussianMap, cam: Camera,
+                 tiled: bool = False, pair_capacity: int = 1 << 16,
+                 interpret: bool = False):
+    """Render one depth slab from raw (sharded) parameter arrays;
+    returns the PRE-background (color_sum, depth_sum, final_T)."""
     cov6 = build_cov3d(jnp.exp(params_sh["scaling"]), params_sh["rotation"])
     opac = jax.nn.sigmoid(params_sh["opacity"])[:, 0]
     feats = jnp.concatenate(
         [params_sh["features_dc"], params_sh["features_rest"]], axis=1)
-    out = renderer_ref.render(
+    render_fn = renderer_tiled.render if tiled else renderer_ref.render
+    kw = (dict(pair_capacity=pair_capacity, interpret=interpret,
+               need_n_touched=False) if tiled else {})
+    out = render_fn(
         params_sh["xyz"], cov6, opac, feats, gm.active_sh_degree,
         cam.w2c(), cam.projection(), jnp.zeros((6,), jnp.float32),
         cam.fx, cam.fy, cam.width, cam.height,
         cam.tanfovx, cam.tanfovy, jnp.zeros((3,)),
-        active=active_sh)
+        active=active_sh, **kw)
     return out.color, out.depth[0], out.final_T
 
 
@@ -89,12 +95,17 @@ def slab_render(
     cam: Camera,
     bg: jnp.ndarray,
     axis: str = "data",
+    tiled: bool = False,
+    pair_capacity: int = 1 << 16,
+    interpret: bool = False,
 ):
     """Render with the gaussian axis sharded into depth slabs over
     ``mesh``. Returns (color, depth, opacity) replicated on every device.
 
     Differentiable w.r.t. all gaussian parameters; each device's gradient
-    touches only its own slab.
+    touches only its own slab. ``tiled=True`` composites each slab with
+    the production Pallas renderer (pass ``interpret=True`` on CPU
+    meshes); the default is the jnp oracle.
     """
     order = depth_slab_order(gm, cam)
     params = {f: getattr(gm, f)[order] for f in PARAM_FIELDS}
@@ -104,7 +115,8 @@ def slab_render(
     assert C % n_dev == 0, (C, n_dev)
 
     def local(params_sh, active_sh):
-        c_slab, d_slab, t_slab = _render_slab(params_sh, active_sh, gm, cam)
+        c_slab, d_slab, t_slab = _render_slab(
+            params_sh, active_sh, gm, cam, tiled, pair_capacity, interpret)
         return _combine_slabs(c_slab, d_slab, t_slab, bg, axis)
 
     fn = jax.shard_map(
@@ -126,12 +138,15 @@ def slab_mapping_loss_and_grads(
     rgb_boundary_threshold: float = 0.01,
     alpha: float = 0.95,
     axis: str = "data",
+    tiled: bool = False,
+    pair_capacity: int = 1 << 16,
+    interpret: bool = False,
 ):
     """Mapping loss + per-parameter gradients with the map model-parallel
     over depth slabs. Gradients come back in the ORIGINAL gaussian order
     (the slab permutation is inverted), so they drop into the standard
     adam_update. Nothing gaussian-sized crosses ICI — only image-sized
-    slab composites."""
+    slab composites. ``tiled=True`` runs the Pallas renderer per slab."""
     order = depth_slab_order(gm, cam)
     inv = jnp.argsort(order)
 
@@ -143,7 +158,8 @@ def slab_mapping_loss_and_grads(
 
         def local(params_sh, active_sh):
             c_slab, d_slab, t_slab = _render_slab(
-                params_sh, active_sh, gm, cam)
+                params_sh, active_sh, gm, cam, tiled, pair_capacity,
+                interpret)
             color, depth, _ = _combine_slabs(
                 c_slab, d_slab, t_slab, bg, axis)
             return losses.loss_mapping_rgbd(

@@ -60,6 +60,7 @@ class BackEnd:
         self.prune_mode = T.get("prune_mode", "slam")
         self.kf_capacity = T.get("kf_capacity", 128)
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
+        self.tile16 = bool(T.get("tile16", False))
         self.live_mode = False
 
         op = config["opt_params"]
@@ -248,7 +249,7 @@ class BackEnd:
             alpha=self.alpha, monocular=self.monocular,
             initialization=initialization,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
-            use_oracle=self.use_oracle, mesh=self.mesh)
+            use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16)
         self.iteration_count += T
         self.last_sent += T
         self.gm, self.gm_adam = out.gm, out.gm_adam
@@ -431,7 +432,7 @@ class BackEnd:
                 self.gm, self.gm_adam, self.store, idxs, xyz_lrs,
                 self.cam, self.bg, self._gm_lrs(), self.lambda_dssim,
                 pair_capacity=self.pair_capacity, interpret=self.interpret,
-                use_oracle=self.use_oracle)
+                use_oracle=self.use_oracle, tile16=self.tile16)
             it += T
         Log("Map refinement done", tag="Backend")
 

@@ -28,9 +28,14 @@ from .render_api import render
 
 class SLAM:
     def __init__(self, config: dict, save_dir: Optional[str] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, live_interval: float = 0.0):
         self.config = config
         self.save_dir = save_dir
+        # --live: stream headless-viewer PNGs of the current map at this
+        # interval while the system runs (the displayless stand-in for the
+        # reference's interactive window, gui/slam_gui.py:540-571)
+        self.live_interval = live_interval
+        self.control_queue = None   # visualizer->main pause/unpause channel
         # derive monocular from the sensor type (reference slam.py:44-52)
         config["Training"].setdefault(
             "monocular",
@@ -54,14 +59,21 @@ class SLAM:
         N = len(self.dataset) if n_frames is None else min(
             n_frames, len(self.dataset))
         t0 = time.time()
+        live_stop = self._start_live_stream()
         if self.use_threads:
+            import queue as _q
+
             from ..parallel.pipeline import run_pipelined
-            run_pipelined(self.frontend, self.backend, N)
+            self.control_queue = _q.Queue()
+            run_pipelined(self.frontend, self.backend, N,
+                          control_queue=self.control_queue)
         else:
             for idx in range(N):
                 info = self.frontend.process_frame(idx)
                 if info.get("reset"):
                     continue
+        if live_stop is not None:
+            live_stop.set()
         jax.block_until_ready(self.backend.gm.xyz)
         wall = time.time() - t0
         fps = N / wall
@@ -88,6 +100,41 @@ class SLAM:
                                       "final", "point_cloud.ply"))
             self._save_renders()
         return results
+
+    def _start_live_stream(self):
+        """--live: a viewer thread snapshotting the evolving map from the
+        newest tracked pose every ``live_interval`` seconds. The map is an
+        immutable device pytree, so reading the backend's current
+        reference is race-free by construction."""
+        if not self.live_interval or not self.save_dir:
+            return None
+        import threading
+
+        from ..gui.headless import HeadlessViewer
+
+        stop = threading.Event()
+        viewer = HeadlessViewer(
+            os.path.join(self.save_dir, "live"), self.cam,
+            pair_capacity=self.backend.pair_capacity,
+            interpret=self.backend.interpret,
+            use_oracle=self.backend.use_oracle)
+
+        def loop():
+            k = 0
+            while not stop.wait(self.live_interval):
+                frames = self.frontend.frames
+                if not frames or int(self.backend.gm.num_active()) == 0:
+                    continue
+                rec = frames[max(frames)]
+                try:
+                    viewer.snapshot(self.backend.gm, rec.R, rec.t,
+                                    tag=f"live{k:05d}")
+                except Exception as e:      # never take down the run
+                    Log(f"live snapshot failed: {e}", tag="GUI")
+                k += 1
+
+        threading.Thread(target=loop, daemon=True).start()
+        return stop
 
     def _save_renders(self, n_orbit: int = 6):
         """Headless visualization dump: per-keyframe snapshots + a free-

@@ -78,6 +78,10 @@ class FrontEnd:
         self.tracker = T.get("tracker", "pyr")
         self.pyr_levels = tuple(T.get("pyr_levels", (4, 2, 1)))
         self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 12)))
+        # trailing exact-gradient iterations per level (None = all exact);
+        # the rest run fwd-only IRLS steps on the frozen probe Jacobian
+        pe = T.get("pyr_exact")
+        self.pyr_exact = None if pe is None else tuple(pe)
         self.pyr_curv = T.get("pyr_curv", "fd")
         self.pyr_probes = T.get("pyr_probes", "coarse")
         # cross-frame curvature reuse: re-run the FD probes every N frames
@@ -88,6 +92,8 @@ class FrontEnd:
         # bf16 kernels measured numerically fine but not faster as
         # implemented (PERF.md) — opt-in
         self.kernel_bf16 = bool(T.get("kernel_bf16", False))
+        # 16x16-subtile kernel (ops/pallas/tile_kernel3) for tracking
+        self.tile16 = bool(T.get("tile16", False))
         self.dataset_type = config["Dataset"]["type"]
         res = config.get("Results", {})
         self.save_dir = None               # set by the SLAM driver
@@ -183,20 +189,28 @@ class FrontEnd:
         kw = {}
         if self.tracker == "pyr":
             # drop pyramid levels that undershoot one 32x32 tile
-            levels, iters = [], []
-            for s, it in zip(self.pyr_levels, self.pyr_iters):
+            levels, iters, exacts = [], [], []
+            pyr_exact = (self.pyr_iters if self.pyr_exact is None
+                         else self.pyr_exact)
+            for s, it, ex in zip(self.pyr_levels, self.pyr_iters,
+                                 pyr_exact):
                 if self.cam.width // s >= 64 and self.cam.height // s >= 64:
                     levels.append(s)
                     iters.append(it)
+                    exacts.append(ex)
             if not levels:
                 levels, iters = [1], [max(self.pyr_iters)]
+                exacts = [iters[0]]
             if levels[-1] != 1:
                 levels.append(1)
                 iters.append(2)
+                exacts.append(2)
             reuse_H = (self.pyr_reprobe > 0 and self._H_cache is not None
                        and self._H_age < self.pyr_reprobe
                        and len(self._H_cache) == len(levels))
             kw = dict(levels=tuple(levels), level_iters=tuple(iters),
+                      level_exact=tuple(exacts),
+                      tile16=self.tile16 and not self.use_oracle,
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),

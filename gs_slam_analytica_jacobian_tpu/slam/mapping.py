@@ -130,7 +130,7 @@ def _mapping_iter(
     cam_template, bg, gm_lrs, xyz_lr,
     lr_rot, lr_trans, rgb_boundary_threshold, n_window,
     alpha, monocular, initialization, pair_capacity, interpret, use_oracle,
-    mesh=None,
+    mesh=None, tile16=False,
 ):
     """One map-optimization iteration (the body of BackEnd.map's loop,
     slam_backend.py:156-317).
@@ -163,7 +163,8 @@ def _mapping_iter(
             pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
             out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
                          pair_capacity=pair_capacity, interpret=interpret,
-                         use_oracle=use_oracle, need_n_touched=False)
+                         use_oracle=use_oracle, need_n_touched=False,
+                         tile16=tile16)
             if initialization:
                 image_ab = out.color
             else:
@@ -306,7 +307,7 @@ def _mapping_iter(
     jax.jit,
     static_argnames=("monocular", "initialization",
                      "n_window", "pair_capacity", "interpret",
-                     "use_oracle", "mesh"))
+                     "use_oracle", "mesh", "tile16"))
 def mapping_steps(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -330,6 +331,7 @@ def mapping_steps(
     pair_capacity: int = 1 << 20,
     interpret: bool = False,
     use_oracle: bool = False,
+    tile16: bool = False,
     mesh=None,
 ) -> MapStepOut:
     """T map iterations in ONE device program (lax.scan over
@@ -350,7 +352,7 @@ def mapping_steps(
             cam_template, bg, gm_lrs, xyz_lr,
             lr_rot, lr_trans, rgb_boundary_threshold, n_window,
             alpha, monocular, initialization, pair_capacity, interpret,
-            use_oracle, mesh=mesh)
+            use_oracle, mesh=mesh, tile16=tile16)
         return ((out.gm, out.gm_adam, out.store, out.pose_adam,
                  out.n_touched, out.radii), out.loss)
 
@@ -364,7 +366,8 @@ def mapping_steps(
     def nt_frame(idx):
         cam = cam_template.replace(R=store_f.R[idx], t=store_f.t[idx])
         out = render(gm_f, cam, None, bg, pair_capacity=pair_capacity,
-                     interpret=interpret, use_oracle=use_oracle)
+                     interpret=interpret, use_oracle=use_oracle,
+                     tile16=tile16)
         return out.n_touched
 
     nt_f = jax.lax.map(nt_frame, window_idx[-1])
@@ -375,7 +378,7 @@ def mapping_steps(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pair_capacity", "interpret", "use_oracle"))
+    static_argnames=("pair_capacity", "interpret", "use_oracle", "tile16"))
 def color_refinement_step(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -388,6 +391,7 @@ def color_refinement_step(
     pair_capacity: int = 1 << 20,
     interpret: bool = False,
     use_oracle: bool = False,
+    tile16: bool = False,
 ):
     """One color-refinement iteration on keyframe slot ``idx``
     (reference slam_backend.py:320-353): (1-l)*L1 + l*(1-SSIM)."""
@@ -396,7 +400,8 @@ def color_refinement_step(
         gm_p = gm.replace(**params)
         cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
         out = render(gm_p, cam, None, bg, pair_capacity=pair_capacity,
-                     interpret=interpret, use_oracle=use_oracle)
+                     interpret=interpret, use_oracle=use_oracle,
+                     tile16=tile16)
         L1 = losses.l1_loss(out.color, store.gt_image[idx])
         return ((1.0 - lambda_dssim) * L1
                 + lambda_dssim * (1.0 - losses.ssim(
@@ -410,7 +415,7 @@ def color_refinement_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pair_capacity", "interpret", "use_oracle"))
+    static_argnames=("pair_capacity", "interpret", "use_oracle", "tile16"))
 def color_refinement_steps(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -424,6 +429,7 @@ def color_refinement_steps(
     pair_capacity: int = 1 << 20,
     interpret: bool = False,
     use_oracle: bool = False,
+    tile16: bool = False,
 ):
     """T color-refinement iterations in ONE device program (lax.scan) —
     the reference runs 26000 host-dispatched steps (slam_backend.py:320-353);
@@ -438,6 +444,7 @@ def color_refinement_steps(
             cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
             out = render(gm_p, cam, None, bg, pair_capacity=pair_capacity,
                          interpret=interpret, use_oracle=use_oracle,
+                         tile16=tile16,
                          need_n_touched=False)
             L1 = losses.l1_loss(out.color, store.gt_image[idx])
             return ((1.0 - lambda_dssim) * L1

@@ -33,6 +33,7 @@ def render(
     plan=None,
     need_n_touched: bool = True,
     bf16: bool = False,
+    tile16: bool = False,
 ) -> RenderOutput:
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -56,7 +57,7 @@ def render(
         return renderer_ref.render(**kwargs)
     return renderer_tiled.render(
         **kwargs, pair_capacity=pair_capacity, interpret=interpret,
-        plan=plan, need_n_touched=need_n_touched, bf16=bf16)
+        plan=plan, need_n_touched=need_n_touched, bf16=bf16, tile16=tile16)
 
 
 def make_render_plan(
@@ -66,6 +67,7 @@ def make_render_plan(
     radius_scale: float = 1.0,
     radius_pad: float = 0.0,
     scaling_modifier: float = 1.0,
+    tile16: bool = False,
 ):
     """Bin once for the given pose; reuse via ``render(..., plan=plan)``.
 
@@ -84,4 +86,4 @@ def make_render_plan(
         cam.tanfovx, cam.tanfovy)
     return make_plan(prep, cam.width, cam.height, pair_capacity,
                      active=gm.active, radius_scale=radius_scale,
-                     radius_pad=radius_pad)
+                     radius_pad=radius_pad, tile16=tile16)

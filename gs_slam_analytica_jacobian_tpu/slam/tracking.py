@@ -455,6 +455,8 @@ def _gn_level(
     sigma_decay: float = 0.8,
     sigma_in=None,
     step_cap: float = 0.05,
+    exact_iters: int = -1,
+    tile16: bool = False,
 ):
     """One pyramid level of IRLS Gauss-Newton pose refinement.
 
@@ -481,7 +483,7 @@ def _gn_level(
     """
     plan = (None if use_oracle else make_render_plan(
         gm, cam_l.replace(R=R, t=t), pair_capacity=pair_capacity,
-        radius_scale=1.1, radius_pad=radius_pad))
+        radius_scale=1.1, radius_pad=radius_pad, tile16=tile16))
 
     def render_at(tau, R_, t_):
         cam = cam_l.replace(R=R_, t=t_)
@@ -489,7 +491,8 @@ def _gn_level(
                          exposure_b=jnp.zeros(()))
         return render(gm, cam, pose, bg, pair_capacity=pair_capacity,
                       interpret=interpret, use_oracle=use_oracle,
-                      plan=plan, need_n_touched=False, bf16=bf16)
+                      plan=plan, need_n_touched=False, bf16=bf16,
+                      tile16=tile16)
 
     def loss_fn(tau, exp_a, exp_b, R_, t_):
         out = render_at(tau, R_, t_)
@@ -514,21 +517,24 @@ def _gn_level(
     rgb_mask = (gt_image.sum(axis=0, keepdims=True)
                 > rgb_boundary_threshold).astype(jnp.float32)
 
-    def assemble_H(Jc, Jd, image_ab, depth, opacity, sigma):
-        """IRLS normal matrix J^T diag(w) J with MOTION-FLOORED weights
-        w = m / (|r| + eps + ||J_pose||*sigma), residuals from the CURRENT
-        iterate. The ||J||*sigma floor is the key robustness device on
-        textured scenes: pixels whose residual happens to be tiny but
-        whose Jacobian is large (depth discontinuities, grazing surfaces,
-        texture coincidences) would otherwise contribute J^2/eps to H —
-        a bounded-gradient / quadratic-curvature imbalance that crushes
-        the GN step (observed: steps 100x too small on a textured room).
-        The floor says "this pixel's residual is only trusted up to the
-        change a sigma-sized motion would cause"; sigma anneals
-        geometrically (sigma0 * sigma_decay^iter, shared across pyramid
-        levels), so the iteration is a trust-region -> IRLS homotopy whose
-        fixed point is still the exact L1 optimum (the gradient is never
-        modified). Masks and mean normalizations mirror loss_tracking_*
+    def assemble_Hg(Jc, Jd, image_ab, depth, opacity, sigma):
+        """IRLS normal matrix J^T diag(w) J AND gradient J^T diag(w) r
+        with MOTION-FLOORED weights w = m / (|r| + eps + ||J_pose||*sigma),
+        residuals from the CURRENT iterate. The ||J||*sigma floor is the
+        key robustness device on textured scenes: pixels whose residual
+        happens to be tiny but whose Jacobian is large (depth
+        discontinuities, grazing surfaces, texture coincidences) would
+        otherwise contribute J^2/eps to H — a bounded-gradient /
+        quadratic-curvature imbalance that crushes the GN step (observed:
+        steps 100x too small on a textured room). The floor says "this
+        pixel's residual is only trusted up to the change a sigma-sized
+        motion would cause"; sigma anneals geometrically
+        (sigma0 * sigma_decay^iter, shared across pyramid levels), so the
+        iteration is a trust-region -> IRLS homotopy. The returned g is
+        the IRLS (smoothed-L1) gradient J^T W r — used by the fwd-only
+        iteration phase; the exact phase overrides it with the renderer's
+        analytic dL/dtau, which restores the exact L1 fixed point. Masks
+        and mean normalizations mirror loss_tracking_*
         (ops/losses.py:100-130)."""
         Jc_f = Jc.reshape(8, -1)
         Jd_f = Jd.reshape(8, -1)
@@ -539,6 +545,7 @@ def _gn_level(
                / (jnp.abs(r_c) + 1e-3 + jn_c * sigma))
         w_c = (w_c if monocular else alpha * w_c) / n3hw
         H_mat = (Jc_f * w_c.reshape(1, -1)) @ Jc_f.T
+        g_vec = Jc_f @ (w_c * r_c).reshape(-1)               # (8,)
         if not monocular:
             depth_mask = ((gt_depth > 0.01) & (opacity > 0.95)
                           ).astype(jnp.float32)
@@ -546,17 +553,36 @@ def _gn_level(
             w_d = ((1.0 - alpha) * depth_mask
                    / (jnp.abs(r_d) + 1e-3 + jn_d * sigma) / nhw)
             H_mat = H_mat + (Jd_f * w_d.reshape(1, -1)) @ Jd_f.T
+            g_vec = g_vec + Jd_f @ (w_d * r_d).reshape(-1)
         H_mat = H_mat + lm_lambda * jnp.diag(
             jnp.maximum(jnp.diag(H_mat), 1e-8))
-        return H_mat + 1e-8 * jnp.eye(8)
+        return H_mat + 1e-8 * jnp.eye(8), g_vec
 
+    # ---- curvature / approx-gradient sources. H_frozen (cross-frame
+    # cache) is a (H, Jc, Jd) triple: J entries, when present, let the
+    # fwd-only phase assemble its IRLS gradient without any probe renders.
+    Jc_probe = Jd_probe = None
     if H_frozen is not None:
-        def curvature(image_ab, depth, opacity, sigma):
-            return H_frozen
+        H_const, Jc_probe, Jd_probe = H_frozen
+
+        if Jc_probe is not None:
+            # cached probe J: re-assemble H with CURRENT residual weights
+            # every iteration (consistent with the IRLS gradient) — a
+            # residual-frozen H cached at the previous frame's convergence
+            # carries near-1/eps weights that crush the first steps
+            def curv_grad(image_ab, depth, opacity, sigma):
+                return assemble_Hg(Jc_probe, Jd_probe, image_ab, depth,
+                                   opacity, sigma)
+        else:
+            def curv_grad(image_ab, depth, opacity, sigma):
+                Jc, Jd = _flow_jacobian(cam_l, image_ab, depth, opacity)
+                _, g_vec = assemble_Hg(Jc, Jd, image_ab, depth, opacity,
+                                       sigma)
+                return H_const, g_vec
     elif curv == "flow":
-        def curvature(image_ab, depth, opacity, sigma):
+        def curv_grad(image_ab, depth, opacity, sigma):
             Jc, Jd = _flow_jacobian(cam_l, image_ab, depth, opacity)
-            return assemble_H(Jc, Jd, image_ab, depth, opacity, sigma)
+            return assemble_Hg(Jc, Jd, image_ab, depth, opacity, sigma)
     else:  # "fd": frozen FD probe Jacobian at level entry
         out0 = render_at(jnp.zeros(6), R, t)
         base_color = out0.color
@@ -573,89 +599,131 @@ def _gn_level(
         Jc = jnp.concatenate(
             [Jc, base_color[None], jnp.ones_like(base_color)[None]], axis=0)
         Jd = jnp.concatenate([Jd, jnp.zeros_like(Jd[:2])], axis=0)
+        Jc_probe, Jd_probe = Jc, Jd
 
-        def curvature(image_ab, depth, opacity, sigma):
-            return assemble_H(Jc, Jd, image_ab, depth, opacity, sigma)
+        def curv_grad(image_ab, depth, opacity, sigma):
+            return assemble_Hg(Jc, Jd, image_ab, depth, opacity, sigma)
 
     if sigma_in is None:
         sigma_in = jnp.asarray(sigma0, jnp.float32)
 
     vg_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
-    def body(s):
-        # Trust-region accept/reject GN: each iteration renders ONCE at the
-        # probe pose P; if its loss beats the best-so-far B, P becomes B
-        # (and its gradient/curvature are cached) and the radius grows,
-        # otherwise the radius shrinks; the next probe always steps from B
-        # along B's cached Newton direction. This replaces the open-loop
-        # 0.7^k decay, which either over-damps (mis-scaled first H on
-        # strongly textured scenes) or under-damps (L1 zigzag), depending
-        # on the scene.
-        (R_, t_, ea_, eb_, itr, conv, sigma, trust,
-         RB, tB, eaB, ebB, LB, gB, HB) = s
-        tau0 = jnp.zeros((6,), jnp.float32)
-        (L_P, aux), (g_tau, g_a, g_b) = vg_fn(tau0, ea_, eb_, R_, t_)
-        g = jnp.concatenate([g_tau, g_a[None], g_b[None]])
-        H_mat = curvature(*aux, sigma)
-        accept = L_P <= LB
+    def make_body(exact):
+        def body(s):
+            # Trust-region accept/reject GN: each iteration renders ONCE at
+            # the probe pose P; if its loss beats the best-so-far B, P
+            # becomes B (and its gradient/curvature are cached) and the
+            # radius grows, otherwise the radius shrinks; the next probe
+            # always steps from B along B's cached Newton direction. This
+            # replaces the open-loop 0.7^k decay, which either over-damps
+            # (mis-scaled first H on strongly textured scenes) or
+            # under-damps (L1 zigzag), depending on the scene.
+            #
+            # exact=False is the IRLS phase: the render is FORWARD-ONLY
+            # and the step uses g = J^T W r from the frozen/flow Jacobian
+            # (classic inverse-compositional direct alignment) — no
+            # backward kernel. exact=True uses the renderer's analytic
+            # dL/dtau (fwd+bwd), which pins the exact L1 fixed point.
+            (R_, t_, ea_, eb_, itr, conv, sigma, trust,
+             RB, tB, eaB, ebB, LB, gB, HB) = s
+            tau0 = jnp.zeros((6,), jnp.float32)
+            if exact:
+                (L_P, aux), (g_tau, g_a, g_b) = vg_fn(
+                    tau0, ea_, eb_, R_, t_)
+                g = jnp.concatenate([g_tau, g_a[None], g_b[None]])
+                H_mat, _ = curv_grad(*aux, sigma)
+            else:
+                L_P, aux = loss_fn(tau0, ea_, eb_, R_, t_)
+                H_mat, g = curv_grad(*aux, sigma)
+            accept = L_P <= LB
 
-        def sel(a, b):
-            return jnp.where(accept, a, b)
+            def sel(a, b):
+                return jnp.where(accept, a, b)
 
-        RB2 = sel(R_, RB)
-        tB2 = sel(t_, tB)
-        eaB2 = sel(ea_, eaB)
-        ebB2 = sel(eb_, ebB)
-        LB2 = sel(L_P, LB)
-        gB2 = sel(g, gB)
-        HB2 = sel(H_mat, HB)
-        trust2 = jnp.where(accept, jnp.minimum(trust * 1.5, 1.0),
-                           trust * 0.4)
+            RB2 = sel(R_, RB)
+            tB2 = sel(t_, tB)
+            eaB2 = sel(ea_, eaB)
+            ebB2 = sel(eb_, ebB)
+            LB2 = sel(L_P, LB)
+            gB2 = sel(g, gB)
+            HB2 = sel(H_mat, HB)
+            trust2 = jnp.where(accept, jnp.minimum(trust * 1.5, 1.0),
+                               trust * 0.4)
 
-        delta = jnp.linalg.solve(HB2, gB2) * trust2
-        # pose-step cap: a quadratic-model step larger than the texture
-        # wiggle scale can jump across the true basin into an adjacent
-        # lower-loss valley (measured on the textured room sequence);
-        # bounded steps recover the subgradient-descent robustness the
-        # reference's Adam loop gets from its small learning rates.
-        pn = jnp.linalg.norm(delta[:6])
-        delta = delta * jnp.minimum(1.0, step_cap / jnp.maximum(pn, 1e-12))
-        new_tau = -delta[:6]
-        # SELF-SCALED trust floor for the NEXT linearization: residuals are
-        # trusted only up to the image change a last-step-sized motion
-        # causes; monotone tightening toward pure IRLS (exact L1 fixed
-        # point) at rate at most sigma_decay.
-        new_sigma = jnp.minimum(
-            jnp.maximum(jnp.linalg.norm(delta[:6]), 1e-4),
-            sigma * jnp.asarray(sigma_decay, jnp.float32))
-        T = jnp.eye(4).at[:3, :3].set(RB2).at[:3, 3].set(tB2)
-        newT = se3_exp(new_tau) @ T
-        converged = (jnp.linalg.norm(new_tau) < 1e-4) & accept
-        return (newT[:3, :3], newT[:3, 3], eaB2 - delta[6], ebB2 - delta[7],
-                itr + 1, converged, new_sigma, trust2,
-                RB2, tB2, eaB2, ebB2, LB2, gB2, HB2)
+            delta = jnp.linalg.solve(HB2, gB2) * trust2
+            # pose-step cap: a quadratic-model step larger than the
+            # texture wiggle scale can jump across the true basin into an
+            # adjacent lower-loss valley (measured on the textured room
+            # sequence); bounded steps recover the subgradient-descent
+            # robustness the reference's Adam loop gets from its small
+            # learning rates.
+            pn = jnp.linalg.norm(delta[:6])
+            delta = delta * jnp.minimum(
+                1.0, step_cap / jnp.maximum(pn, 1e-12))
+            new_tau = -delta[:6]
+            # SELF-SCALED trust floor for the NEXT linearization:
+            # residuals are trusted only up to the image change a
+            # last-step-sized motion causes; monotone tightening toward
+            # pure IRLS (exact L1 fixed point) at rate at most
+            # sigma_decay.
+            new_sigma = jnp.minimum(
+                jnp.maximum(jnp.linalg.norm(delta[:6]), 1e-4),
+                sigma * jnp.asarray(sigma_decay, jnp.float32))
+            T = jnp.eye(4).at[:3, :3].set(RB2).at[:3, 3].set(tB2)
+            newT = se3_exp(new_tau) @ T
+            converged = (jnp.linalg.norm(new_tau) < 1e-4) & accept
+            return (newT[:3, :3], newT[:3, 3],
+                    eaB2 - delta[6], ebB2 - delta[7],
+                    itr + 1, converged, new_sigma, trust2,
+                    RB2, tB2, eaB2, ebB2, LB2, gB2, HB2)
+        return body
 
-    def cond(s):
-        return (s[4] < max_iters) & ~s[5]
-
-    H0 = jnp.eye(8) if H_frozen is None else H_frozen
+    exact_l = max_iters if exact_iters < 0 else min(exact_iters, max_iters)
+    cheap_l = max_iters - exact_l
+    H0 = jnp.eye(8) if H_frozen is None else H_frozen[0]
     inf = jnp.asarray(jnp.inf, jnp.float32)
-    init = (R, t, ea, eb, jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool), sigma_in, jnp.asarray(1.0, jnp.float32),
-            R, t, ea, eb, inf, jnp.zeros(8), H0)
-    out = jax.lax.while_loop(cond, body, init)
+    state = (R, t, ea, eb, jnp.zeros((), jnp.int32),
+             jnp.zeros((), bool), sigma_in, jnp.asarray(1.0, jnp.float32),
+             R, t, ea, eb, inf, jnp.zeros(8), H0)
+    iters_done = jnp.zeros((), jnp.int32)
+    if cheap_l > 0:
+        state = jax.lax.while_loop(
+            lambda s: (s[4] < cheap_l) & ~s[5], make_body(False), state)
+        iters_done = state[4]
+    if exact_l > 0:
+        if cheap_l > 0:
+            # fresh phase: restart the iteration counter and the
+            # accept/reject bests from the IRLS phase's best pose (its
+            # approx-gradient cache must not seed an exact step)
+            (_, _, _, _, _, _, sigma_c, trust_c,
+             RB, tB, eaB, ebB, _, _, HBc) = state
+            state = (RB, tB, eaB, ebB, jnp.zeros((), jnp.int32),
+                     jnp.zeros((), bool), sigma_c, trust_c,
+                     RB, tB, eaB, ebB, inf, jnp.zeros(8), HBc)
+        state = jax.lax.while_loop(
+            lambda s: (s[4] < exact_l) & ~s[5], make_body(True), state)
+        iters_done = iters_done + state[4]
     (R_p, t_p, ea_p, eb_p, itr_f, _, sigma_f, _,
-     RB, tB, eaB, ebB, LB, gB, HB) = out
+     RB, tB, eaB, ebB, LB, gB, HB) = state
     # the final PROBE pose may be a rejected overshoot — return the best
-    return RB, tB, eaB, ebB, itr_f, HB, plan, sigma_f
+    return RB, tB, eaB, ebB, iters_done, (HB, Jc_probe, Jd_probe), plan, \
+        sigma_f
+
+
+def _strip_J(entry):
+    """Cross-LEVEL H reuse: the coarser level's normal matrix transfers
+    (mean-normalized entries are resolution-invariant) but its probe
+    Jacobian is level-resolution-shaped and does not."""
+    return (entry[0], None, None)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
                      "curv", "kernel_bf16", "sigma0",
-                     "sigma_decay", "step_cap", "pair_capacity",
-                     "interpret", "use_oracle"))
+                     "sigma_decay", "step_cap", "level_exact", "tile16",
+                     "pair_capacity", "interpret", "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -682,6 +750,8 @@ def track_frame_pyr(
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
     step_cap: float = 0.05,
+    level_exact: tuple = None,
+    tile16: bool = False,
     H_in=None,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
@@ -696,6 +766,14 @@ def track_frame_pyr(
     the exact full-resolution analytic gradient, so the fixed point
     matches track_frame_gn's up to its convergence tolerance.
 
+    ``level_exact`` (per-level, default = level_iters) caps how many
+    TRAILING iterations of each level use the exact analytic dL/dtau
+    (renderer fwd+bwd); the earlier iterations run the IRLS step
+    g = J^T W r from the frozen probe Jacobian with FORWARD-ONLY renders
+    (inverse-compositional direct alignment) — ~2.5x cheaper per
+    iteration. Levels that run IRLS iterations probe J at their own
+    resolution (and the probe J rides the cross-frame cache with H).
+
     The reference has no pyramid (slam_frontend.py:128-196 runs ~100 Adam
     iterations at full res); this is a TPU-side redesign of the same
     optimization problem, converging to the same loss minimum.
@@ -706,6 +784,8 @@ def track_frame_pyr(
     ea = jnp.zeros(())
     eb = jnp.zeros(())
     total_iters = jnp.zeros((), jnp.int32)
+    if level_exact is None:
+        level_exact = level_iters
     H_prev = None
     plan_s1 = None
     sigma_prev = None
@@ -713,8 +793,11 @@ def track_frame_pyr(
 
     for li, (s, iters_l) in enumerate(zip(levels, level_iters)):
         if iters_l <= 0:
-            H_out.append(jnp.eye(8) if H_in is None else H_in[li])
+            H_out.append((jnp.eye(8), None, None) if H_in is None
+                         else H_in[li])
             continue
+        exact_l = min(int(level_exact[li]), iters_l)
+        need_J = exact_l < iters_l and curv == "fd"
         cam_l = _cam_level(cam_template, s)
         if s == 1:
             gt_i, gt_d, gm_l = gt_image, gt_depth, grad_mask
@@ -725,25 +808,28 @@ def track_frame_pyr(
         cap_l = pair_capacity if s == 1 else max(1 << 16, pair_capacity // 2)
         if H_in is not None and curv != "flow":
             # cross-frame curvature reuse: viewpoints move slowly, so the
-            # previous frame's per-level normal matrices stay valid
-            # preconditioners; the frontend re-probes every few frames
+            # previous frame's per-level normal matrices (and probe
+            # Jacobians) stay valid; the frontend re-probes every few
+            # frames
             probes_here = False
             H_frozen = H_in[li]
         elif curv == "flow":
             probes_here = True       # flow curvature is per-iteration free
             H_frozen = None
         elif probe_levels == "first":
-            probes_here = H_prev is None
-            H_frozen = None if probes_here else H_prev
+            probes_here = H_prev is None or need_J
+            H_frozen = None if probes_here else _strip_J(H_prev)
         elif probe_levels == "all":
             # fresh FD probes at EVERY level, including full res: the
             # warm-started fine levels re-linearize near the optimum
             # (measured: does not move the ~4 mm floor — kept as an option)
             probes_here = True
             H_frozen = None
-        else:  # "coarse": re-probe at every level except the finest
-            probes_here = s > 1 or H_prev is None
-            H_frozen = None if probes_here else H_prev
+        else:  # "coarse": re-probe at every level except the finest —
+            # unless the finest runs IRLS iterations, which need J at
+            # their own resolution
+            probes_here = s > 1 or H_prev is None or need_J
+            H_frozen = None if probes_here else _strip_J(H_prev)
         R, t, ea, eb, itr_l, H_prev, plan_l, sigma_prev = _gn_level(
             gm, cam_l, R, t, ea, eb, gt_i, gt_d, gm_l, bg,
             rgb_boundary_threshold, alpha, monocular, iters_l, cap_l,
@@ -752,7 +838,7 @@ def track_frame_pyr(
             H_frozen=H_frozen, curv=curv,
             bf16=kernel_bf16, sigma0=sigma0,
             sigma_decay=sigma_decay, sigma_in=sigma_prev,
-            step_cap=step_cap)
+            step_cap=step_cap, exact_iters=exact_l, tile16=tile16)
         total_iters = total_iters + itr_l
         H_out.append(H_prev)
         if s == 1:
@@ -763,6 +849,6 @@ def track_frame_pyr(
     # superset at the converged pose — reuse it for the keyframing render.
     out = render(gm, cam, None, bg, pair_capacity=pair_capacity,
                  interpret=interpret, use_oracle=use_oracle,
-                 plan=plan_s1)
+                 plan=plan_s1, tile16=tile16)
     med = losses.median_depth(out.depth, out.opacity)
     return R, t, ea, eb, total_iters, out, med, tuple(H_out)

@@ -33,6 +33,9 @@ def main():
                         help="limit number of frames (debug)")
     parser.add_argument("--interpret", action="store_true",
                         help="run Pallas kernels in interpreter mode (CPU)")
+    parser.add_argument("--live", type=float, default=0.0, metavar="SEC",
+                        help="stream headless-viewer PNGs of the evolving "
+                             "map to <save_dir>/live every SEC seconds")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -59,7 +62,8 @@ def main():
 
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
 
-    slam = SLAM(config, save_dir=save_dir, interpret=args.interpret)
+    slam = SLAM(config, save_dir=save_dir, interpret=args.interpret,
+                live_interval=args.live)
     results = slam.run(
         n_frames=args.frames,
         eval_rendering=config["Results"].get("eval_rendering", False))

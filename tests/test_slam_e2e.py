@@ -136,3 +136,52 @@ def test_slam_synthetic_rgbd_threaded():
     # machinery stays sane, not accuracy
     assert results["ate"] < 0.2, results
     assert int(slam.backend.gm.num_active()) > 100
+
+
+@pytest.mark.slow
+def test_pipeline_pause_resume():
+    """The control channel (reference Packet_vis2main flag_pause,
+    slam_frontend.py:333-343) holds the frontend mid-sequence — no frames
+    advance while paused — and resumes cleanly to completion."""
+    import queue
+    import threading
+    import time as _time
+
+    cfg = small_config(single_thread=False)
+    cfg["Results"]["save_results"] = False
+    cfg["Dataset"]["n_frames"] = 6
+    from gs_slam_analytica_jacobian_tpu.parallel.pipeline import (
+        run_pipelined)
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+
+    slam = SLAM(cfg, interpret=True)
+    control = queue.Queue()
+    seen = []
+    progress_while_paused = []
+
+    def controller():
+        # wait for the first frame to complete, then pause
+        while not seen:
+            _time.sleep(0.02)
+        control.put(["pause"])
+        # let the in-flight frame drain: wait until progress stalls
+        while True:
+            a = len(seen)
+            _time.sleep(1.0)
+            if len(seen) == a:
+                break
+        held_at = len(seen)
+        _time.sleep(1.5)
+        progress_while_paused.append((held_at, len(seen)))
+        control.put(["unpause"])
+
+    th = threading.Thread(target=controller)
+    th.start()
+    run_pipelined(slam.frontend, slam.backend, 6, control_queue=control,
+                  frame_callback=lambda i: seen.append(i))
+    th.join()
+    (held_at, after), = progress_while_paused
+    assert after == held_at, progress_while_paused
+    assert held_at < 6, "system finished before the pause took hold"
+    assert seen == list(range(6))
+    assert int(slam.backend.gm.num_active()) > 0

@@ -94,6 +94,41 @@ def test_flow_gn_recovers_pose(small_scene):
     assert int(jnp.sum(res[5].n_touched)) > 0
 
 
+def test_irls_fwd_only_phase_recovers_pose(small_scene):
+    """level_exact < level_iters: most iterations use the fwd-only IRLS
+    gradient J^T W r from the FD probe Jacobian; the trailing exact
+    iterations polish with the analytic dL/dtau. Must converge like the
+    all-exact tracker, and the curvature cache must carry the probe J."""
+    cam, gm, bg, gt_image, gt_depth = small_scene
+    tau = np.zeros(6, np.float32)
+    tau[:3] = [0.015, -0.012, 0.015]
+    tau[3:] = [0.005, 0.007, -0.004]
+    T0 = np.asarray(se3_exp(jnp.asarray(tau)))
+    mask = jnp.ones_like(gt_depth)
+    res = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
+        gt_image, gt_depth, mask, bg,
+        lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
+        pair_capacity=1 << 13, levels=(1,), level_iters=(14,),
+        level_exact=(3,), curv="fd", interpret=True)
+    R, t = np.asarray(res[0]), np.asarray(res[1])
+    assert np.linalg.norm(t) < 1e-3, np.linalg.norm(t)
+    assert np.linalg.norm(R - np.eye(3)) < 2e-3
+    # the cache entry carries (H, Jc, Jd) with the probe J present
+    H_entry = res[7][0]
+    assert H_entry[0].shape == (8, 8)
+    assert H_entry[1] is not None and H_entry[1].shape[0] == 8
+    # cross-frame reuse consumes the cached J without re-probing
+    res2 = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
+        gt_image, gt_depth, mask, bg,
+        lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
+        pair_capacity=1 << 13, levels=(1,), level_iters=(14,),
+        level_exact=(3,), curv="fd", interpret=True, H_in=res[7])
+    t2 = np.asarray(res2[1])
+    assert np.linalg.norm(t2) < 1e-3, np.linalg.norm(t2)
+
+
 def test_flow_jacobian_shapes_and_conf_gating(small_scene):
     cam, gm, bg, gt_image, gt_depth = small_scene
     out = render(gm, cam, None, bg, pair_capacity=1 << 13, interpret=True)
