@@ -144,8 +144,8 @@ def make_forward_kernel16(n_tx16, W, H, with_ntouch=True, bf16=False):
         starts, n_list, n_chunks_j = [], [], []
         for j in range(NS):
             t16 = (2 * gy + j // 2) * n_tx16 + (2 * gx + j % 2)
-            s_j = ranges_ref[t16, 0]
-            n_j = ranges_ref[t16, 1] - s_j
+            s_j = ranges_ref[2 * t16]
+            n_j = ranges_ref[2 * t16 + 1] - s_j
             starts.append(s_j)
             n_list.append(n_j)
             n_chunks_j.append((n_j + K - 1) // K)
@@ -305,8 +305,8 @@ def make_backward_kernel16(n_tx16, W, H, bf16=False):
         starts, n_chunks_j, n_list = [], [], []
         for j in range(NS):
             t16 = (2 * gy + j // 2) * n_tx16 + (2 * gx + j % 2)
-            s_j = ranges_ref[t16, 0]
-            n_j = ranges_ref[t16, 1] - s_j
+            s_j = ranges_ref[2 * t16]
+            n_j = ranges_ref[2 * t16 + 1] - s_j
             starts.append(s_j)
             n_list.append(n_j)
             n_chunks_j.append((n_j + K - 1) // K)
@@ -564,7 +564,7 @@ def _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret=False,
             input_output_aliases={2: 1},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(ranges, feat_v, jnp.zeros((1, B_al), jnp.float32))
+        )(jnp.ravel(ranges), feat_v, jnp.zeros((1, B_al), jnp.float32))
         return img, ntouch[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -582,7 +582,7 @@ def _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret=False,
         out_shape=img_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, feat_v)
+    )(jnp.ravel(ranges), feat_v)
     return img, jnp.zeros((B_al,), jnp.float32)
 
 
@@ -621,7 +621,7 @@ def _bwd_impl16(feat, ranges, fwd_img, cot_img, n_gx, n_gy, W, H,
         input_output_aliases={4: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, feat_v, fwd_img, cot_img,
+    )(jnp.ravel(ranges), feat_v, fwd_img, cot_img,
       jnp.zeros((FEAT_DIM, B_al), jnp.float32))
     return jnp.transpose(dfeat_v)
 

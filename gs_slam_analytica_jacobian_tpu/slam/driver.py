@@ -99,7 +99,39 @@ class SLAM:
                          os.path.join(self.save_dir, "point_cloud",
                                       "final", "point_cloud.ply"))
             self._save_renders()
+            self._write_run_summary(results)
         return results
+
+    def _write_run_summary(self, results: dict):
+        """Consolidated run record — the zero-egress stand-in for the
+        reference's wandb run (slam.py:243-250, eval_utils.py:112): one
+        JSON with the FPS accounting, the interim ATE series, final
+        metrics and run facts."""
+        import json
+
+        summary = dict(
+            fps=results.get("fps"),
+            wall_time_s=results.get("wall_time"),
+            n_frames=results.get("n_frames"),
+            final_ate_m=results.get("ate"),
+            ate_series=list(self.frontend.ate_log),
+            n_keyframes=len(self.frontend.kf_indices),
+            keyframe_ids=list(map(int, self.frontend.kf_indices)),
+            n_gaussians=int(self.backend.gm.num_active()),
+            rendering_before_opt=results.get("rendering_before_opt"),
+            rendering_after_opt=results.get("rendering_after_opt"),
+            monocular=self.monocular,
+            dataset=self.config["Dataset"].get("type"),
+            tracker=self.frontend.tracker,
+            renderer=("oracle" if self.backend.use_oracle else
+                      ("tiled16" if self.backend.tile16 else "tiled32")),
+        )
+        with open(os.path.join(self.save_dir, "run_summary.json"),
+                  "w") as f:
+            json.dump(summary, f, indent=2)
+        Log(f"wrote run summary to "
+            f"{os.path.join(self.save_dir, 'run_summary.json')}",
+            tag="Eval")
 
     def _start_live_stream(self):
         """--live: a viewer thread snapshotting the evolving map from the

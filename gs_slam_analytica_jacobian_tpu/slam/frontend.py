@@ -103,6 +103,7 @@ class FrontEnd:
         self.initialized = not self.monocular
         self.frames: Dict[int, FrameRecord] = {}
         self.kf_indices: List[int] = []
+        self.ate_log: List[dict] = []   # interim eval series (run summary)
         self.current_window: List[int] = []
         self.occ_aware_visibility: Dict[int, np.ndarray] = {}
         self.median_depth = 1.0
@@ -419,9 +420,11 @@ class FrontEnd:
             if (self.save_trj and self.save_dir is not None
                     and len(self.kf_indices) % self.save_trj_kf_intv == 0):
                 from ..utils import eval as eval_utils
-                eval_utils.eval_ate(
+                ate = eval_utils.eval_ate(
                     self.frames, self.kf_indices, self.save_dir,
                     iterations=idx, monocular=self.monocular)
+                self.ate_log.append(
+                    dict(frame=idx, n_kf=len(self.kf_indices), ate=ate))
             # 3 FPS throttle after keyframe creation so the async backend
             # can catch up (reference slam_frontend.py:477-480); a no-op
             # in single-thread mode where the backend ran inline

@@ -316,22 +316,108 @@ class SyntheticDataset(MonocularDataset):
         # sequences move ~millimetres per frame, so tests set a scale that
         # keeps per-frame motion inside a direct tracker's basin
         scale = config["Dataset"].get("motion_scale", 1.0)
+        # "plane": the original single textured wall (tests). "room": a
+        # z-buffered box interior with multi-scale texture and a 6-DoF
+        # trajectory — full geometric constraint for cm-grade ATE work.
+        self.scene = config["Dataset"].get("scene", "plane")
         rng = np.random.default_rng(seed)
-        # random textured "wall" at z ~ 2.5 with sinusoid texture
         self.freqs = rng.uniform(0.5, 3.0, size=(3, 2))
         self.phases = rng.uniform(0, 2 * np.pi, size=3)
+        # room texture bank: world-space sinusoids from coarse (2 rad/m)
+        # to fine (~60 rad/m, ~10 cm wavelength)
+        ww = rng.normal(size=(10, 3))
+        ww *= (np.geomspace(2.0, 60.0, 10) /
+               np.linalg.norm(ww, axis=1))[:, None]
+        self.tex_w = ww
+        self.tex_phase = rng.uniform(0, 2 * np.pi, size=(10, 3))
+        self.tex_amp = rng.uniform(0.03, 0.1, size=(10, 3)) * \
+            np.geomspace(1.0, 0.5, 10)[:, None]
+        # room geometry: rect list (origin, u, v) — walls, floor, ceiling,
+        # two boxes; normal faces from the winding (z-buffer picks nearest)
+        self.rects = [
+            ((-4.0, -2.5, 7.0), (8.0, 0, 0), (0, 5.0, 0)),    # back wall
+            ((-4.0, -2.5, -1.0), (0, 0, 8.0), (0, 5.0, 0)),   # left wall
+            ((4.0, -2.5, -1.0), (0, 0, 8.0), (0, 5.0, 0)),    # right wall
+            ((-4.0, 2.5, -1.0), (8.0, 0, 0), (0, 0, 8.0)),    # floor
+            ((-4.0, -2.5, -1.0), (8.0, 0, 0), (0, 0, 8.0)),   # ceiling
+            ((-2.5, 1.0, 4.0), (1.5, 0, 0), (0, 1.5, 0)),     # box front
+            ((-2.5, 1.0, 4.0), (1.5, 0, 0), (0, 0, 1.0)),     # box top
+            ((1.0, -0.5, 5.0), (2.0, 0, 0), (0, 3.0, 0)),     # screen
+        ]
         self.poses = []
         for i in range(self.num_imgs):
             t = i / max(self.num_imgs - 1, 1)
-            w2c = np.eye(4)
-            w2c[0, 3] = scale * 0.2 * np.sin(2 * np.pi * t)
-            w2c[1, 3] = scale * 0.1 * np.cos(2 * np.pi * t)
-            w2c[2, 3] = scale * 0.1 * t
+            if self.scene == "room":
+                # smooth 6-DoF sweep: ~0.2*scale m translation arc plus a
+                # few degrees of yaw/pitch over the sequence
+                c2w = np.eye(4)
+                yaw = scale * 0.10 * np.sin(2 * np.pi * t)
+                pitch = scale * 0.05 * np.sin(4 * np.pi * t + 1.0)
+                cy_, sy_ = np.cos(yaw), np.sin(yaw)
+                cp_, sp_ = np.cos(pitch), np.sin(pitch)
+                Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+                Rx = np.array([[1, 0, 0], [0, cp_, -sp_], [0, sp_, cp_]])
+                c2w[:3, :3] = Ry @ Rx
+                c2w[:3, 3] = [scale * 0.25 * np.sin(2 * np.pi * t),
+                              scale * 0.10 * np.cos(2 * np.pi * t),
+                              scale * 0.30 * t]
+                w2c = np.linalg.inv(c2w)
+            else:
+                w2c = np.eye(4)
+                w2c[0, 3] = scale * 0.2 * np.sin(2 * np.pi * t)
+                w2c[1, 3] = scale * 0.1 * np.cos(2 * np.pi * t)
+                w2c[2, 3] = scale * 0.1 * t
             self.poses.append(w2c)
         self.has_depth = True
 
+    def _texture(self, pts):
+        """(H, W, 3) multi-scale world-space texture for the room scene."""
+        img = np.full(pts.shape[:2] + (3,), 0.45, np.float32)
+        for k in range(self.tex_w.shape[0]):
+            ph = pts @ self.tex_w[k]
+            img += (self.tex_amp[k][None, None]
+                    * np.sin(ph[..., None] + self.tex_phase[k][None, None]))
+        return np.clip(img, 0.02, 0.98)
+
+    def _render_room(self, w2c):
+        c2w = np.linalg.inv(w2c)
+        H, W = self.height, self.width
+        ys, xs = np.mgrid[0:H, 0:W]
+        dx = (xs + 0.5 - self.cx) / self.fx
+        dy = (ys + 0.5 - self.cy) / self.fy
+        dirs_cam = np.stack([dx, dy, np.ones_like(dx)], -1)
+        dirs_w = dirs_cam @ c2w[:3, :3].T
+        org_w = c2w[:3, 3]
+        best_t = np.full((H, W), np.inf, np.float32)
+        best_pt = np.zeros((H, W, 3), np.float32)
+        for (o, u, v) in self.rects:
+            o = np.asarray(o, np.float64)
+            u = np.asarray(u, np.float64)
+            v = np.asarray(v, np.float64)
+            n = np.cross(u, v)
+            denom = dirs_w @ n
+            tt = ((o - org_w) @ n) / np.where(np.abs(denom) < 1e-9,
+                                              np.inf, denom)
+            pts = org_w + tt[..., None] * dirs_w
+            rel = pts - o
+            a = (rel @ u) / (u @ u)
+            b = (rel @ v) / (v @ v)
+            hit = ((tt > 0.05) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+                   & (tt < best_t))
+            best_t = np.where(hit, tt, best_t)
+            best_pt = np.where(hit[..., None], pts, best_pt)
+        img = self._texture(best_pt).transpose(2, 0, 1).astype(np.float32)
+        covered = np.isfinite(best_t)
+        img = img * covered[None]
+        z_cam = ((best_pt - org_w) @ w2c[:3, :3].T)[..., 2]
+        depth = np.where(covered, z_cam, 0.0).astype(np.float32)
+        return img, depth
+
     def __getitem__(self, idx):
         w2c = self.poses[idx]
+        if self.scene == "room":
+            img, depth = self._render_room(w2c)
+            return img, depth, w2c
         c2w = np.linalg.inv(w2c)
         H, W = self.height, self.width
         ys, xs = np.mgrid[0:H, 0:W]

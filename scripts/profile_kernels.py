@@ -115,9 +115,10 @@ def main():
             img, _ = tile_kernel3._fwd_impl16(
                 feat, plan.ranges, n_gx, n_gy, W, H, False, False, False)
             stats = np.asarray(img[5, ::8, ::128])
-            # one group stat covers 4 subtiles: expand to per-subtile share
-            av4 = avail.reshape(n_gy, 2, n_gx, 2)
-            avail = np.minimum(av4, stats[:, None, :, None]).reshape(-1)
+            # per-GROUP loop iterations (max over the 4 subtiles) vs the
+            # group's available max
+            avail = avail.reshape(n_gy, 2, n_gx, 2).max(axis=(1, 3))
+            avail = avail.reshape(-1)
         else:
             img, _ = tk._fwd_impl(feat, plan.ranges, n_tx, n_ty, W, H,
                                   False, False, False)

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Full SLAM end-to-end ON THE REAL TPU: synthetic RGB-D at Replica
 resolution. Validates that the complete system — GN tracking, keyframing,
-seeding, mapping_steps, densify/prune, color refinement — runs on-chip
-(round 1 never executed mapping on real hardware), and reports FPS + ATE.
+seeding, mapping_steps, densify/prune, eval, headless renders — runs
+on-chip, and commits the artifact the reference's slam.py:113-119 FPS
+accounting would produce: results/<dir>/{run_summary.json, ate_final.json,
+plot/, renders/}.
 
-Usage: python scripts/tpu_slam_run.py [n_frames]
+Usage: python scripts/tpu_slam_run.py [n_frames] [outdir]
+Env:   SCENE=room|plane  TILE16=1  FRESH_FPS=1 (second cached-compile pass)
 """
 
 import os
@@ -24,6 +27,7 @@ from gs_slam_analytica_jacobian_tpu.utils.config import load_config
 from gs_slam_analytica_jacobian_tpu.utils import eval as eval_utils
 
 N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+OUT = sys.argv[2] if len(sys.argv) > 2 else None
 
 cfg = load_config("configs/synthetic/base.yaml")
 cal = cfg["Dataset"]["Calibration"]
@@ -31,7 +35,8 @@ cal["width"], cal["height"] = 1216, 672     # Replica-scale, tile-aligned
 cal["fx"] = cal["fy"] = 600.0
 cal["cx"], cal["cy"] = 607.5, 335.5
 cfg["Dataset"]["n_frames"] = N_FRAMES
-cfg["Dataset"]["motion_scale"] = 0.5
+cfg["Dataset"]["scene"] = os.environ.get("SCENE", "room")
+cfg["Dataset"]["motion_scale"] = float(os.environ.get("MOTION", 0.5))
 cfg["Dataset"]["pcd_downsample_init"] = 16
 cfg["Dataset"]["pcd_downsample"] = 64
 T = cfg["Training"]
@@ -39,7 +44,8 @@ T["monocular"] = False
 T["single_thread"] = True
 cfg["Dataset"]["single_thread"] = True
 T["initial_capacity"] = 1 << 17
-T["pair_capacity"] = 1 << 20
+T["pair_capacity"] = 1 << (21 if os.environ.get("TILE16") == "1" else 20)
+T["tile16"] = os.environ.get("TILE16") == "1"
 # pow2 budgets: few distinct mapping_steps compiles
 T["init_itr_num"] = 128
 T["init_gaussian_update"] = 64
@@ -54,12 +60,18 @@ T["kf_translation"] = 0.01
 T["kf_min_translation"] = 0.005
 T["kf_overlap"] = 1.0
 cfg["opt_params"]["densify_grad_threshold"] = 0.01
-cfg["Results"]["save_results"] = False
+cfg["Results"]["save_results"] = True
+cfg["Results"]["save_trj"] = True
+cfg["Results"]["save_trj_kf_intv"] = 4
 
 from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
 
+save_dir = OUT or os.path.join(
+    "results", "tpu_full", time.strftime("%Y-%m-%d-%H-%M-%S"))
+os.makedirs(save_dir, exist_ok=True)
+
 print("devices:", jax.devices(), flush=True)
-slam = SLAM(cfg)
+slam = SLAM(cfg, save_dir=save_dir)
 t0 = time.time()
 for idx in range(N_FRAMES):
     t1 = time.time()
@@ -69,19 +81,29 @@ for idx in range(N_FRAMES):
     print(f"frame {idx}: {time.time()-t1:6.1f}s kf={info.get('keyframe')} "
           f"iters={info.get('iters')} terr={terr:.4f}", flush=True)
 wall = time.time() - t0
-ate = eval_utils.eval_ate(slam.frontend.frames, slam.frontend.kf_indices,
-                          None, final=True, monocular=False)
+results = dict(fps=N_FRAMES / wall, n_frames=N_FRAMES, wall_time=wall)
+results["ate"] = eval_utils.eval_ate(
+    slam.frontend.frames, slam.frontend.kf_indices, save_dir, final=True,
+    monocular=False)
+slam._save_renders()
+slam._write_run_summary(results)
 print(f"DONE: {N_FRAMES} frames in {wall:.1f}s "
-      f"({N_FRAMES/wall:.3f} FPS incl. compile), ATE {ate:.4f} m, "
+      f"({N_FRAMES/wall:.3f} FPS incl. compile), ATE {results['ate']:.4f} m, "
       f"active {int(slam.backend.gm.num_active())}", flush=True)
 
-# steady-state re-run (compiles cached): honest wall-clock FPS
-slam2 = SLAM(cfg)
-t0 = time.time()
-for idx in range(N_FRAMES):
-    slam2.frontend.process_frame(idx)
-wall2 = time.time() - t0
-ate2 = eval_utils.eval_ate(slam2.frontend.frames, slam2.frontend.kf_indices,
-                           None, final=True, monocular=False)
-print(f"STEADY: {N_FRAMES} frames in {wall2:.1f}s "
-      f"({N_FRAMES/wall2:.3f} FPS), ATE {ate2:.4f} m", flush=True)
+if os.environ.get("FRESH_FPS") == "1":
+    # steady-state re-run (compiles cached): honest wall-clock FPS
+    slam2 = SLAM(cfg, save_dir=None)
+    t0 = time.time()
+    for idx in range(N_FRAMES):
+        slam2.frontend.process_frame(idx)
+    wall2 = time.time() - t0
+    ate2 = eval_utils.eval_ate(
+        slam2.frontend.frames, slam2.frontend.kf_indices, None, final=True,
+        monocular=False)
+    print(f"STEADY: {N_FRAMES} frames in {wall2:.1f}s "
+          f"({N_FRAMES/wall2:.3f} FPS), ATE {ate2:.4f} m", flush=True)
+    import json
+    with open(os.path.join(save_dir, "steady_fps.json"), "w") as f:
+        json.dump(dict(fps=N_FRAMES / wall2, wall_time=wall2, ate=ate2,
+                       n_frames=N_FRAMES), f)

@@ -157,3 +157,41 @@ def test_state_checkpoint_roundtrip(tmp_path, rng):
     assert int(store2.uid[0]) == 3
     np.testing.assert_array_equal(np.asarray(pose2.v),
                                   np.asarray(pose_adam.v))
+
+
+def test_synthetic_room_scene():
+    """The z-buffered room variant: full coverage, indoor depth range,
+    6-DoF trajectory (rotations change between frames)."""
+    import numpy as np
+    from gs_slam_analytica_jacobian_tpu.utils.datasets import (
+        SyntheticDataset)
+    cfg = {"Dataset": {"Calibration": {
+        "fx": 150., "fy": 150., "cx": 151.5, "cy": 83.5,
+        "width": 304, "height": 168, "depth_scale": 1.0, "distorted": False,
+        "k1": 0, "k2": 0, "k3": 0, "p1": 0, "p2": 0},
+        "n_frames": 4, "scene": "room", "motion_scale": 0.5,
+        "dataset_path": "synthetic"}}
+    ds = SyntheticDataset(cfg)
+    img, dep, w2c = ds[0]
+    assert img.shape == (3, 168, 304) and dep.shape == (168, 304)
+    assert float((dep > 0).mean()) == 1.0          # box interior: no holes
+    assert 1.0 < np.median(dep) < 8.0
+    assert np.all(img >= 0) and np.all(img <= 1)
+    R0 = ds.poses[0][:3, :3]
+    R1 = ds.poses[1][:3, :3]
+    assert np.linalg.norm(R0 - R1) > 1e-3          # real rotation component
+    # depth is consistent with the pose: reprojecting the center pixel of
+    # frame 0 into frame 3 lands on similar texture
+    img3, dep3, w2c3 = ds[3]
+    c2w = np.linalg.inv(ds.poses[0])
+    u, v = 152, 84
+    z = dep[v, u]
+    pc = z * np.array([(u + 0.5 - 151.5) / 150., (v + 0.5 - 83.5) / 150., 1])
+    pw = c2w[:3, :3] @ pc + c2w[:3, 3]
+    pc3 = w2c3[:3, :3] @ pw + w2c3[:3, 3]
+    u3 = pc3[0] / pc3[2] * 150. + 151.5
+    v3 = pc3[1] / pc3[2] * 150. + 83.5
+    assert 0 <= u3 < 304 and 0 <= v3 < 168
+    a = img[:, v, u]
+    b = img3[:, int(round(v3)), int(round(u3))]
+    assert np.abs(a - b).max() < 0.15, (a, b)
