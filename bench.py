@@ -216,6 +216,8 @@ def main():
             kw["kernel_bf16"] = True
         if os.environ.get("BENCH_TILE16") == "1":
             kw["tile16"] = True
+        if "BENCH_PAD" in os.environ:
+            kw["plan_pad"] = float(os.environ["BENCH_PAD"])
         if "BENCH_SIGMA0" in os.environ:
             kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
         if "BENCH_SIGMA_DECAY" in os.environ:

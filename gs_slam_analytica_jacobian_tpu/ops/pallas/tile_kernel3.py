@@ -29,6 +29,15 @@ Semantics are identical to tile_kernel2 (forward.cu:406-535 parity:
 power>0 skip, alpha clamp at 0.99, T<1e-4 termination, 16px rect test —
 which at 16x16 binning coincides with the bin tile), and the pair plan
 comes from the same binning2.plan_pairs with tile_w=tile_h=16.
+
+MEASURED OUTCOME (r2, real chip, N=200k room scene): 51.8 ms forward vs
+tile_kernel2's 14.4 ms. The per-operand packing (broadcast + lane-concat
+of four per-subtile slices) lowers to per-piece relayouts that swamp the
+~1.5x loop-iteration savings, and the amortization radius_pad inflates
+16px pair counts 2.4x. The kernel is kept as a CORRECT, fully tested
+alternative (oracle parity fwd+bwd, real-chip lane coverage) and as the
+record of why 16px subtiling does not pay on this hardware — tile_kernel2
+remains the production path.
 """
 
 from __future__ import annotations
@@ -123,11 +132,6 @@ def _subtile_terms(feat4, px, py, t16x, t16y, row_ok, bf16=False):
     alpha = jnp.minimum(ALPHA_MAX, a_un)
     ok = row_ok & rect_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
     return a_un, alpha, ok, dx, dy
-
-
-def _lane_sum4(x):
-    """(K, P) -> (K, NS): per-subtile lane-local sums."""
-    return jnp.sum(x.reshape(K, NS, PS), axis=2)
 
 
 def make_forward_kernel16(n_tx16, W, H, with_ntouch=True, bf16=False):
@@ -235,9 +239,12 @@ def make_forward_kernel16(n_tx16, W, H, with_ntouch=True, bf16=False):
                 jnp.max((live & term).astype(f32), axis=0, keepdims=True))
 
             if with_ntouch:
-                nt = _lane_sum4(
-                    jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0)
-                )                                             # (K, NS)
+                touch = jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0)
+                # per-subtile lane-slice reductions (fresh offset-0
+                # vectors — see the backward kernel's Mosaic note)
+                nts = [jnp.transpose(jnp.sum(
+                    touch[:, j * PS:(j + 1) * PS], axis=1, keepdims=True))
+                    for j in range(NS)]                       # NS x (1, K)
                 slot_o = jax.lax.rem(c, 2)
 
                 for j in range(NS):
@@ -249,8 +256,7 @@ def make_forward_kernel16(n_tx16, W, H, with_ntouch=True, bf16=False):
                     @pl.when(slot_o == sv)
                     def _(sv=sv):
                         for j in range(NS):
-                            nt_vmem[sv, j] = jnp.transpose(
-                                nt[:, j:j + 1])               # (1, K)
+                            nt_vmem[sv, j] = nts[j]
 
                 for j in range(NS):
                     @pl.when(c < n_chunks_j[j])
@@ -413,26 +419,22 @@ def make_backward_kernel16(n_tx16, W, H, bf16=False):
                 gdy = Gb * dyb
                 dG_ddx = -gdx * ca.astype(b16) - gdy * cb.astype(b16)
                 dG_ddy = -gdy * cc.astype(b16) - gdx * cb.astype(b16)
-
-                def rsum(x):
-                    return _lane_sum4(x.astype(jnp.float32))
-
-                d_mx = rsum(dLdGb * dG_ddx)
-                d_my = rsum(dLdGb * dG_ddy)
-                d_ca = rsum(dLdGb * (-0.5 * gdx * dxb))
-                d_cb = rsum(dLdGb * (-gdx * dyb))
-                d_cc = rsum(dLdGb * (-0.5 * gdy * dyb))
+                prods = [(dLdGb * dG_ddx).astype(f32),
+                         (dLdGb * dG_ddy).astype(f32),
+                         (dLdGb * (-0.5 * gdx * dxb)).astype(f32),
+                         (dLdGb * (-gdx * dyb)).astype(f32),
+                         (dLdGb * (-0.5 * gdy * dyb)).astype(f32),
+                         G * dLda]
             else:
                 gdx = G * dx
                 gdy = G * dy
                 dG_ddx = -gdx * ca - gdy * cb
                 dG_ddy = -gdy * cc - gdx * cb
-                d_mx = _lane_sum4(dLdG * dG_ddx)              # (K, NS)
-                d_my = _lane_sum4(dLdG * dG_ddy)
-                d_ca = _lane_sum4(dLdG * (-0.5 * gdx * dx))
-                d_cb = _lane_sum4(dLdG * (-gdx * dy))
-                d_cc = _lane_sum4(dLdG * (-0.5 * gdy * dy))
-            d_opa = _lane_sum4(G * dLda)                      # (K, NS)
+                prods = [dLdG * dG_ddx, dLdG * dG_ddy,
+                         dLdG * (-0.5 * gdx * dx),
+                         dLdG * (-gdx * dy),
+                         dLdG * (-0.5 * gdy * dy),
+                         G * dLda]
 
             slot_o = jax.lax.rem(c, 2)
 
@@ -448,11 +450,15 @@ def make_backward_kernel16(n_tx16, W, H, bf16=False):
                     w[:, sl], dCD[:, sl],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)               # (K, 4)
+                # per-quantity lane-slice reductions: each produces a
+                # fresh offset-0 (K, 1) vector (slicing a packed (K, NS)
+                # array instead gives operands with heterogeneous lane
+                # offsets, which Mosaic's concatenate cannot lower)
+                cols = [jnp.sum(p[:, sl], axis=1, keepdims=True)
+                        for p in prods]                       # 6 x (K, 1)
                 dgrad_j = jnp.concatenate(
-                    [d_mx[:, j:j + 1], d_my[:, j:j + 1], d_ca[:, j:j + 1],
-                     d_cb[:, j:j + 1], d_cc[:, j:j + 1], d_opa[:, j:j + 1],
-                     d_cd_j,
-                     jnp.zeros((K, FEAT_DIM - 10), f32)], axis=1)
+                    cols + [d_cd_j,
+                            jnp.zeros((K, FEAT_DIM - 10), f32)], axis=1)
                 dgrad_j = jnp.where(row_ok_col[j], dgrad_j, 0.0)
                 dgrads.append(jnp.transpose(dgrad_j))         # (F, K)
 

@@ -212,6 +212,9 @@ class FrontEnd:
             kw = dict(levels=tuple(levels), level_iters=tuple(iters),
                       level_exact=tuple(exacts),
                       tile16=self.tile16 and not self.use_oracle,
+                      plan_pad=float(T_pad) if (
+                          T_pad := self.config["Training"].get(
+                              "pyr_pad")) is not None else 8.0,
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),

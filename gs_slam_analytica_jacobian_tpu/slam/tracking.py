@@ -723,7 +723,8 @@ def _strip_J(entry):
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
                      "curv", "kernel_bf16", "sigma0",
                      "sigma_decay", "step_cap", "level_exact", "tile16",
-                     "pair_capacity", "interpret", "use_oracle"))
+                     "plan_pad", "pair_capacity", "interpret",
+                     "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -752,6 +753,7 @@ def track_frame_pyr(
     step_cap: float = 0.05,
     level_exact: tuple = None,
     tile16: bool = False,
+    plan_pad: float = 8.0,
     H_in=None,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
@@ -834,7 +836,7 @@ def track_frame_pyr(
             gm, cam_l, R, t, ea, eb, gt_i, gt_d, gm_l, bg,
             rgb_boundary_threshold, alpha, monocular, iters_l, cap_l,
             interpret, use_oracle, fd_eps, lm_lambda,
-            radius_pad=max(2.0, 8.0 / s),
+            radius_pad=max(2.0, plan_pad / s),
             H_frozen=H_frozen, curv=curv,
             bf16=kernel_bf16, sigma0=sigma0,
             sigma_decay=sigma_decay, sigma_in=sigma_prev,

@@ -172,3 +172,93 @@ def test_tpu_amortized_plan_matches_fresh():
                            need_n_touched=False)
     np.testing.assert_allclose(np.asarray(planned.color),
                                np.asarray(fresh.color), atol=2e-4)
+
+
+def test_tpu_tile16_matches_oracle():
+    """v3 16x16-subtile kernel on the real chip (Mosaic lowering) —
+    forward + n_touched parity vs the oracle."""
+    from gs_slam_analytica_jacobian_tpu.ops import renderer_ref
+    from gs_slam_analytica_jacobian_tpu.ops import renderer_tiled
+
+    rng = np.random.default_rng(4)
+    sc = make_scene(rng, 3000, 320, 192)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    ref = run_renderer(sc, bg, renderer_ref, None)
+    out = run_renderer(sc, bg, renderer_tiled, 1 << 15, tile16=True)
+    assert int(out.overflow) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(out.n_touched),
+                                  np.asarray(ref.n_touched))
+
+
+def test_tpu_tile16_gradients_match_v2():
+    """v3 backward on-chip vs the (oracle-verified) v2 backward."""
+    from gs_slam_analytica_jacobian_tpu.ops import gaussian_math as gm
+    from gs_slam_analytica_jacobian_tpu.ops import renderer_tiled
+
+    rng = np.random.default_rng(5)
+    sc = make_scene(rng, 2000, 320, 192)
+    bg = jnp.asarray(np.array([0.05, 0.1, 0.15], np.float32))
+    target = jnp.asarray(
+        rng.uniform(size=(3, sc["H"], sc["W"])).astype(np.float32))
+
+    def make_loss(**extra):
+        def loss(tau, means, opac, scales):
+            out = renderer_tiled.render(
+                means,
+                gm.build_cov3d(scales, jnp.asarray(sc["quats"])),
+                opac, jnp.asarray(sc["shs"]), 3,
+                jnp.asarray(sc["w2c"]), jnp.asarray(sc["proj"]), tau,
+                sc["fx"], sc["fy"], sc["W"], sc["H"],
+                sc["tanfovx"], sc["tanfovy"], bg,
+                pair_capacity=1 << 15, **extra)
+            return (jnp.mean(jnp.abs(out.color - target))
+                    + 0.1 * jnp.mean(out.depth))
+        return loss
+
+    args = (jnp.zeros(6), jnp.asarray(sc["means"]), jnp.asarray(sc["opac"]),
+            jnp.asarray(sc["scales"]))
+    g2 = jax.grad(make_loss(), argnums=(0, 1, 2, 3))(*args)
+    g3 = jax.grad(make_loss(tile16=True), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g2, g3, ["tau", "means", "opac", "scales"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)), name
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=5e-5 + 5e-3 * np.abs(a).max(),
+            err_msg=name)
+
+
+def test_tpu_production_scale_smoke():
+    """N=200k at Replica resolution — the regime that faulted in round 1.
+    fwd+bwd on both kernels must stay finite and sane; shapes mirror
+    bench.py so the persistent compile cache is shared with it."""
+    from bench import make_room_map
+    from gs_slam_analytica_jacobian_tpu.models import gaussian_map as gmap
+    from gs_slam_analytica_jacobian_tpu.models.camera import Camera
+    from gs_slam_analytica_jacobian_tpu.slam.render_api import render
+
+    W, H = 1200, 680
+    cam = Camera.create(np.eye(3), np.zeros(3), 600.0, 600.0, 599.5, 339.5,
+                        W, H)
+    rng = np.random.default_rng(0)
+    gmp = gmap.from_numpy(**make_room_map(200_000, rng), max_sh_degree=0)
+    bg = jnp.zeros(3)
+    for t16, cap in ((False, 1 << 20), (True, 1 << 21)):
+        out = render(gmp, cam, None, bg, pair_capacity=cap, tile16=t16)
+        color = np.asarray(out.color)
+        assert np.all(np.isfinite(color)), t16
+        assert int(out.overflow) == 0, t16
+        assert 0.2 < color.mean() < 0.8, (t16, color.mean())
+        assert int(jnp.sum(out.n_touched > 0)) > 100_000
+
+        def loss(xyz):
+            o = render(gmp.replace(xyz=xyz), cam, None, bg,
+                       pair_capacity=cap, tile16=t16,
+                       need_n_touched=False)
+            return jnp.mean(jnp.abs(o.color)) + 0.1 * jnp.mean(o.depth)
+
+        g = jax.grad(loss)(gmp.xyz)
+        assert np.all(np.isfinite(np.asarray(g))), t16
