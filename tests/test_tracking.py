@@ -129,6 +129,27 @@ def test_irls_fwd_only_phase_recovers_pose(small_scene):
     assert np.linalg.norm(t2) < 1e-3, np.linalg.norm(t2)
 
 
+def test_irls_flow_phase_recovers_pose(small_scene):
+    """curv='flow' + level_exact < level_iters: the fwd-only IRLS phase
+    assembles BOTH H and g from the flow Jacobian relinearized at every
+    iteration — the configuration that wins the r2 on-chip bench."""
+    cam, gm, bg, gt_image, gt_depth = small_scene
+    tau = np.zeros(6, np.float32)
+    tau[:3] = [0.015, -0.012, 0.015]
+    tau[3:] = [0.005, 0.007, -0.004]
+    T0 = np.asarray(se3_exp(jnp.asarray(tau)))
+    mask = jnp.ones_like(gt_depth)
+    res = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
+        gt_image, gt_depth, mask, bg,
+        lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
+        pair_capacity=1 << 13, levels=(1,), level_iters=(14,),
+        level_exact=(2,), curv="flow", interpret=True)
+    R, t = np.asarray(res[0]), np.asarray(res[1])
+    assert np.linalg.norm(t) < 1e-3, np.linalg.norm(t)
+    assert np.linalg.norm(R - np.eye(3)) < 2e-3
+
+
 def test_flow_jacobian_shapes_and_conf_gating(small_scene):
     cam, gm, bg, gt_image, gt_depth = small_scene
     out = render(gm, cam, None, bg, pair_capacity=1 << 13, interpret=True)
