@@ -197,8 +197,14 @@ def main():
                 "adam": tracking.track_frame}[tracker]
     max_iters = 100 if tracker == "adam" else 20
 
+    # defaults mirror the frontend's r2 defaults: per-iteration flow-
+    # Jacobian IRLS steps (fwd-only) + one exact analytic-gradient polish
+    # at full res, plan pad 4 (measured 4.3 FPS @ 0.1 mm; see PERF.md)
     kw = {}
     if tracker == "pyr":
+        kw["curv"] = "flow"
+        kw["level_exact"] = (0, 0, 1)
+        kw["plan_pad"] = 4.0
         if "BENCH_LEVELS" in os.environ:
             kw["levels"] = tuple(
                 int(x) for x in os.environ["BENCH_LEVELS"].split(","))
@@ -222,6 +228,11 @@ def main():
             kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
         if "BENCH_SIGMA_DECAY" in os.environ:
             kw["sigma_decay"] = float(os.environ["BENCH_SIGMA_DECAY"])
+        # keep level_exact aligned with a custom level count (zip in
+        # track_frame_pyr stops at the shortest sequence)
+        n_lv = len(kw.get("levels", (4, 2, 1)))
+        if len(kw["level_exact"]) != n_lv:
+            kw["level_exact"] = (0,) * (n_lv - 1) + (1,)
     reuse_H = (tracker == "pyr"
                and os.environ.get("BENCH_REUSE_H", "1") == "1")
 

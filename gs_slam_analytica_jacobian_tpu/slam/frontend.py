@@ -78,11 +78,18 @@ class FrontEnd:
         self.tracker = T.get("tracker", "pyr")
         self.pyr_levels = tuple(T.get("pyr_levels", (4, 2, 1)))
         self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 12)))
-        # trailing exact-gradient iterations per level (None = all exact);
-        # the rest run fwd-only IRLS steps on the frozen probe Jacobian
-        pe = T.get("pyr_exact")
-        self.pyr_exact = None if pe is None else tuple(pe)
-        self.pyr_curv = T.get("pyr_curv", "fd")
+        # trailing exact-gradient iterations per level: "auto" (default)
+        # runs fwd-only IRLS steps everywhere plus ONE exact analytic-
+        # gradient polish at full res — the r2-measured best config
+        # (4.3 FPS @ 0.1 mm vs 1.0 FPS @ 1.5 mm all-exact, PERF.md);
+        # an explicit tuple pins counts, null/None = all exact
+        pe = T.get("pyr_exact", "auto")
+        self.pyr_exact = pe if pe == "auto" else (
+            None if pe is None else tuple(pe))
+        # flow: H AND the IRLS gradient from the per-iteration flow
+        # Jacobian (relinearized every step, zero probe renders) — beats
+        # frozen FD probes on every r2 scene; "fd" remains an option
+        self.pyr_curv = T.get("pyr_curv", "flow")
         self.pyr_probes = T.get("pyr_probes", "coarse")
         # cross-frame curvature reuse: re-run the FD probes every N frames
         # (0 disables reuse); invalidated when tracking hits max iters
@@ -191,8 +198,12 @@ class FrontEnd:
         if self.tracker == "pyr":
             # drop pyramid levels that undershoot one 32x32 tile
             levels, iters, exacts = [], [], []
-            pyr_exact = (self.pyr_iters if self.pyr_exact is None
-                         else self.pyr_exact)
+            if self.pyr_exact == "auto":
+                pyr_exact = [0] * (len(self.pyr_iters) - 1) + [1]
+            elif self.pyr_exact is None:
+                pyr_exact = self.pyr_iters
+            else:
+                pyr_exact = self.pyr_exact
             for s, it, ex in zip(self.pyr_levels, self.pyr_iters,
                                  pyr_exact):
                 if self.cam.width // s >= 64 and self.cam.height // s >= 64:
@@ -201,11 +212,11 @@ class FrontEnd:
                     exacts.append(ex)
             if not levels:
                 levels, iters = [1], [max(self.pyr_iters)]
-                exacts = [iters[0]]
+                exacts = [1 if self.pyr_exact == "auto" else iters[0]]
             if levels[-1] != 1:
                 levels.append(1)
                 iters.append(2)
-                exacts.append(2)
+                exacts.append(1 if self.pyr_exact == "auto" else 2)
             reuse_H = (self.pyr_reprobe > 0 and self._H_cache is not None
                        and self._H_age < self.pyr_reprobe
                        and len(self._H_cache) == len(levels))
@@ -214,7 +225,7 @@ class FrontEnd:
                       tile16=self.tile16 and not self.use_oracle,
                       plan_pad=float(T_pad) if (
                           T_pad := self.config["Training"].get(
-                              "pyr_pad")) is not None else 8.0,
+                              "pyr_pad")) is not None else 4.0,
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
