@@ -130,7 +130,7 @@ def _mapping_iter(
     cam_template, bg, gm_lrs, xyz_lr,
     lr_rot, lr_trans, rgb_boundary_threshold, n_window,
     alpha, monocular, initialization, pair_capacity, interpret, use_oracle,
-    mesh=None, tile16=False,
+    mesh=None, tile16=False, window_plans=None,
 ):
     """One map-optimization iteration (the body of BackEnd.map's loop,
     slam_backend.py:156-317).
@@ -153,41 +153,68 @@ def _mapping_iter(
                     valids, mean2d_offsets):
         gm_p = gm_in.replace(**params)
 
-        def frame_loss(carry, xs):
-            (idx, ta, ea, eb, vf, m2o) = xs
-            Rf = store_in.R[idx]
-            tf = store_in.t[idx]
-            gt_i = store_in.gt_image[idx]
-            gt_d = store_in.gt_depth[idx]
-            cam = cam_template.replace(R=Rf, t=tf)
-            pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
-            out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
-                         pair_capacity=pair_capacity, interpret=interpret,
-                         use_oracle=use_oracle, need_n_touched=False,
-                         tile16=tile16)
-            if initialization:
-                image_ab = out.color
-            else:
-                image_ab = losses.apply_exposure(out.color, ea, eb)
-            if monocular:
-                L = losses.loss_mapping_rgb(
-                    image_ab, gt_i, rgb_boundary_threshold)
-            else:
-                L = losses.loss_mapping_rgbd(
-                    image_ab, out.depth, gt_i, gt_d,
-                    rgb_boundary_threshold, alpha)
-            L = jnp.where(vf, L, 0.0)
-            # n_touched is NOT computed in the optimization iterations —
-            # it is only consumed post-batch (visibility/covisibility,
-            # slam_backend.py:236-240), so mapping_steps renders it once
-            # at the final state instead of paying the per-chunk touch
-            # DMA every iteration
-            return carry + L, out.radii
+        def frame_loss_with(plan):
+            def frame_loss(carry, xs):
+                (idx, ta, ea, eb, vf, m2o) = xs
+                Rf = store_in.R[idx]
+                tf = store_in.t[idx]
+                gt_i = store_in.gt_image[idx]
+                gt_d = store_in.gt_depth[idx]
+                cam = cam_template.replace(R=Rf, t=tf)
+                pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
+                out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
+                             pair_capacity=pair_capacity,
+                             interpret=interpret,
+                             use_oracle=use_oracle, need_n_touched=False,
+                             tile16=tile16, plan=plan)
+                if initialization:
+                    image_ab = out.color
+                else:
+                    image_ab = losses.apply_exposure(out.color, ea, eb)
+                if monocular:
+                    L = losses.loss_mapping_rgb(
+                        image_ab, gt_i, rgb_boundary_threshold)
+                else:
+                    L = losses.loss_mapping_rgbd(
+                        image_ab, out.depth, gt_i, gt_d,
+                        rgb_boundary_threshold, alpha)
+                L = jnp.where(vf, L, 0.0)
+                # n_touched is NOT computed in the optimization
+                # iterations — it is only consumed post-batch
+                # (visibility/covisibility, slam_backend.py:236-240), so
+                # mapping_steps renders it once at the final state
+                # instead of paying the per-chunk touch DMA every
+                # iteration
+                return carry + L, out.radii
+            return frame_loss
 
-        total, radii = jax.lax.scan(
-            frame_loss, jnp.zeros(()),
-            (idxs, taus, exp_a, exp_b, valids, mean2d_offsets))
-        return total, radii
+        if window_plans is None:
+            total, radii = jax.lax.scan(
+                frame_loss_with(None), jnp.zeros(()),
+                (idxs, taus, exp_a, exp_b, valids, mean2d_offsets))
+            return total, radii
+
+        # amortized pair plans for the FIXED window slots (built once per
+        # mapping_steps batch — the CUDA reference re-bins every render
+        # because binning is ~free there; on TPU it is ~20% of a mapping
+        # render and the window poses/params drift sub-pixel per batch);
+        # the trailing random-keyframe slots change viewpoint every
+        # iteration and keep fresh plans
+        def split(x):
+            return x[:n_window], x[n_window:]
+
+        xs_all = (idxs, taus, exp_a, exp_b, valids, mean2d_offsets)
+        xs_w = tuple(split(x)[0] for x in xs_all)
+        xs_r = tuple(split(x)[1] for x in xs_all)
+
+        def frame_loss_planned(carry, xs):
+            xs_frame, plan = xs[:-1], xs[-1]
+            return frame_loss_with(plan)(carry, xs_frame)
+
+        tot_w, radii_w = jax.lax.scan(
+            frame_loss_planned, jnp.zeros(()), xs_w + (window_plans,))
+        tot_r, radii_r = jax.lax.scan(frame_loss_with(None), tot_w, xs_r)
+        return tot_r, jnp.concatenate([radii_w, radii_r], axis=0)
 
     def loss_fn(params, taus, exp_a, exp_b, mean2d_offsets):
         total, aux = frames_loss(params, gm, store, window_idx, taus,
@@ -343,6 +370,36 @@ def mapping_steps(
     nt0 = jnp.zeros((F, gm.capacity), jnp.int32)
     r0 = jnp.zeros((F, gm.capacity), jnp.float32)
 
+    # Amortized pair plans for the fixed window slots, built once per
+    # batch from the entry poses/params. The per-batch drift (pose Adam
+    # ~3 px, xyz steps ~4 px worst case between densify boundaries) stays
+    # inside the radius pad; the kernel's per-pixel 16px rect test always
+    # uses CURRENT means, so stale plans cost only extra dead pairs.
+    # Mesh path keeps fresh plans (plans would need per-shard layout).
+    if mesh is None and not use_oracle:
+        from ..ops import gaussian_math as gmath
+        from ..ops.renderer_tiled import make_plan
+
+        prep_base = dict(
+            cov6=gm.get_cov6(), opac=gm.get_opacity(),
+            feats=gm.get_features())
+
+        def build_plan(idx):
+            cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
+            prep = gmath.preprocess(
+                gm.xyz, prep_base["cov6"], prep_base["opac"],
+                prep_base["feats"], gm.active_sh_degree, cam.w2c(),
+                cam.projection(), jnp.zeros((6,), jnp.float32),
+                cam.fx, cam.fy, cam.width, cam.height,
+                cam.tanfovx, cam.tanfovy)
+            return make_plan(prep, cam.width, cam.height, pair_capacity,
+                             active=gm.active, radius_scale=1.1,
+                             radius_pad=6.0, tile16=tile16)
+
+        window_plans = jax.lax.map(build_plan, window_idx[0, :n_window])
+    else:
+        window_plans = None
+
     def body(carry, xs):
         gm_c, adam_c, store_c, pose_c, _, _ = carry
         idx_row, xyz_lr = xs
@@ -352,7 +409,8 @@ def mapping_steps(
             cam_template, bg, gm_lrs, xyz_lr,
             lr_rot, lr_trans, rgb_boundary_threshold, n_window,
             alpha, monocular, initialization, pair_capacity, interpret,
-            use_oracle, mesh=mesh, tile16=tile16)
+            use_oracle, mesh=mesh, tile16=tile16,
+            window_plans=window_plans)
         return ((out.gm, out.gm_adam, out.store, out.pose_adam,
                  out.n_touched, out.radii), out.loss)
 

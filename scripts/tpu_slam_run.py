@@ -29,7 +29,7 @@ from gs_slam_analytica_jacobian_tpu.utils import eval as eval_utils
 N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 OUT = sys.argv[2] if len(sys.argv) > 2 else None
 
-cfg = load_config("configs/synthetic/base.yaml")
+cfg = load_config("configs/synthetic/test.yaml")
 cal = cfg["Dataset"]["Calibration"]
 cal["width"], cal["height"] = 1216, 672     # Replica-scale, tile-aligned
 cal["fx"] = cal["fy"] = 600.0
