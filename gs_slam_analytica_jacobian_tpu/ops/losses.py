@@ -81,7 +81,8 @@ def compute_grad_mask(gray: jnp.ndarray, edge_threshold: float,
         full = full.at[:, Wc:].set(intensity[0, :, Wc:])
         return full[None]
     med = jnp.median(intensity)
-    return (intensity > med * edge_threshold).astype(intensity.dtype)[None]
+    # intensity is already (1, H, W)
+    return (intensity > med * edge_threshold).astype(intensity.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -162,3 +162,13 @@ def test_flow_jacobian_shapes_and_conf_gating(small_scene):
     conf = np.asarray(out.opacity[0]) > 0.5
     jpose = np.abs(np.asarray(Jc[:6])).sum(axis=(0, 1))
     assert np.all(jpose[~conf] == 0.0)
+
+
+def test_grad_mask_shape_all_dataset_types():
+    """Regression: the generic/median branch returned (1,1,H,W) — only the
+    full-res pyramid path pooled the mask and hit it (r2 on-chip run)."""
+    from gs_slam_analytica_jacobian_tpu.ops import losses
+    g = jnp.ones((1, 64, 96))
+    for t in ("replica", "generic", "synthetic", "tum"):
+        m = losses.compute_grad_mask(g, 1.1, t)
+        assert m.shape == (1, 64, 96), (t, m.shape)
