@@ -72,6 +72,7 @@ def seed_from_frame(
     P = H * W
     if max_points is None:
         max_points = max(int(P / downsample_factor * 2), 1024)
+    max_points = min(max_points, P)
 
     pts, cols, valid = backproject_depth(depth, image, cam, w2c)
 

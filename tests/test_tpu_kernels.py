@@ -246,13 +246,17 @@ def test_tpu_production_scale_smoke():
     rng = np.random.default_rng(0)
     gmp = gmap.from_numpy(**make_room_map(200_000, rng), max_sh_degree=0)
     bg = jnp.zeros(3)
+    touched = {}
     for t16, cap in ((False, 1 << 20), (True, 1 << 21)):
         out = render(gmp, cam, None, bg, pair_capacity=cap, tile16=t16)
         color = np.asarray(out.color)
         assert np.all(np.isfinite(color)), t16
         assert int(out.overflow) == 0, t16
         assert 0.2 < color.mean() < 0.8, (t16, color.mean())
-        assert int(jnp.sum(out.n_touched > 0)) > 100_000
+        # measured on-chip: 71,370 of 112,476 in-frustum gaussians get
+        # test_T>0.5 contributions on this scene; both kernels agree
+        touched[t16] = int(jnp.sum(out.n_touched > 0))
+        assert 50_000 < touched[t16] <= int(jnp.sum(out.radii > 0)), touched
 
         def loss(xyz):
             o = render(gmp.replace(xyz=xyz), cam, None, bg,
@@ -262,3 +266,4 @@ def test_tpu_production_scale_smoke():
 
         g = jax.grad(loss)(gmp.xyz)
         assert np.all(np.isfinite(np.asarray(g))), t16
+    assert touched[False] == touched[True], touched
