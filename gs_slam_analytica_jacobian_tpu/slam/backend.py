@@ -320,11 +320,11 @@ class BackEnd:
                 self.gm, self.gm_adam = gmap.reset_opacity_nonvisible(
                     self.gm, self.gm_adam, vis_any)
 
-        # record occ-aware visibility for window frames
+        # record occ-aware visibility for window frames (device-resident;
+        # consumers compute overlap scalars on device)
         if out is not None:
             for i, uid in enumerate(window_uids[:self.window_size]):
-                self.occ_aware_visibility[uid] = np.asarray(
-                    out.n_touched[i] > 0)
+                self.occ_aware_visibility[uid] = out.n_touched[i] > 0
         return True
 
     def _densify_and_prune(self, th, extent, size_threshold):
@@ -340,30 +340,30 @@ class BackEnd:
             self._assert_finite("after densify_and_prune")
 
     def _covisibility_prune(self, window_uids, n_touched):
-        """reference slam_backend.py:244-275 (prune_mode slam/odometry)."""
+        """reference slam_backend.py:244-275 (prune_mode slam/odometry),
+        computed entirely on device — no (F, C) visibility transfers."""
         self.occ_aware_visibility = {}
+        k = len(window_uids[:self.window_size])
         for i, uid in enumerate(window_uids[:self.window_size]):
-            self.occ_aware_visibility[uid] = np.asarray(n_touched[i] > 0)
+            self.occ_aware_visibility[uid] = n_touched[i] > 0
 
         if len(window_uids) == self.window_size:
             prune_coviz = 3
-            n_obs = np.zeros(self.gm.capacity, np.int32)
-            for vis in self.occ_aware_visibility.values():
-                n_obs += vis.astype(np.int32)
-            self.gm = self.gm.replace(n_obs=jnp.asarray(n_obs))
+            n_obs = jnp.sum((n_touched[:k] > 0).astype(jnp.int32), axis=0)
+            self.gm = self.gm.replace(n_obs=n_obs)
             to_prune = None
             if self.prune_mode == "odometry":
                 to_prune = n_obs < 3
             if self.prune_mode == "slam":
                 sorted_window = sorted(window_uids, reverse=True)
-                kfids = np.asarray(self.gm.unique_kfids)
+                kfids = self.gm.unique_kfids
                 mask = kfids >= sorted_window[2]
                 if not self.initialized:
                     mask = kfids >= 0
                 to_prune = (n_obs <= prune_coviz) & mask
             if to_prune is not None and self.monocular:
                 self.gm, self.gm_adam = gmap.prune(
-                    self.gm, self.gm_adam, jnp.asarray(to_prune))
+                    self.gm, self.gm_adam, to_prune)
             if not self.initialized:
                 self.initialized = True
                 Log("Initialized SLAM", tag="Backend")
@@ -437,10 +437,15 @@ class BackEnd:
         Log("Map refinement done", tag="Backend")
 
     def keyframe_poses(self):
-        """Poses to sync back to the frontend (push_to_frontend payload)."""
-        out = []
-        for uid in self.current_window:
-            slot = self.uid_to_slot[uid]
-            out.append((uid, np.asarray(self.store.R[slot]),
-                        np.asarray(self.store.t[slot])))
-        return out
+        """Poses to sync back to the frontend (push_to_frontend payload).
+        One packed d2h pull for the whole window (2 pulls per keyframe
+        cost a host-link round trip each)."""
+        uids = list(self.current_window)
+        if not uids:
+            return []
+        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        Rt = np.asarray(jnp.concatenate(
+            [self.store.R[slots].reshape(len(uids), 9),
+             self.store.t[slots]], axis=1), np.float32)
+        return [(u, Rt[i, :9].reshape(3, 3), Rt[i, 9:12])
+                for i, u in enumerate(uids)]

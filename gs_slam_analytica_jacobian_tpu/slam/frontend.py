@@ -21,10 +21,43 @@ from ..utils.logging import Log
 from . import tracking
 
 
+def _overlap_stats(curr_vis, occ_list):
+    """Visibility-overlap statistics against each keyframe's occ-aware
+    visibility, computed ON DEVICE with ONE d2h pull. Replaces the
+    reference's per-keyframe host set arithmetic
+    (slam_frontend.py:239-246) — there the vectors live on the GPU next
+    to free host transfers; through a host link, pulling K full (C,)
+    bool vectors per frame dominates the frame budget.
+
+    Vectors may be recorded at different map capacities (the map grows);
+    shorter ones are padded with False.
+
+    Returns np int64 array [inter_0..K-1, union_0..K-1, cnt_occ_0..K-1,
+    cnt_cur]."""
+    import jax.numpy as _jnp
+
+    n = max(max(o.shape[0] for o in occ_list), curr_vis.shape[0])
+
+    def pad(x):
+        return x if x.shape[0] == n else _jnp.pad(x, (0, n - x.shape[0]))
+
+    cur = pad(curr_vis)
+    O = _jnp.stack([pad(o) for o in occ_list])
+    inter = _jnp.count_nonzero(O & cur[None], axis=1)
+    union = _jnp.count_nonzero(O | cur[None], axis=1)
+    cnt_occ = _jnp.count_nonzero(O, axis=1)
+    cnt_cur = _jnp.count_nonzero(cur)
+    return np.asarray(_jnp.concatenate(
+        [inter, union, cnt_occ, cnt_cur[None]]))
+
+
 @dataclass
 class FrameRecord:
-    """Host-side per-frame state (the reference's Camera objects live in a
-    dict; heavy tensors are dropped by cleanup())."""
+    """Per-frame state. Poses are host numpy (the keyframing logic is
+    host control flow); the heavy image tensors are DEVICE-resident jax
+    arrays — uploaded once at load and consumed in place by tracking,
+    seeding and the KF store, with no host round trips (the reference
+    keeps CUDA tensors on-GPU the same way, camera_utils.py:66-84)."""
 
     uid: int
     R: np.ndarray
@@ -33,9 +66,9 @@ class FrameRecord:
     t_gt: np.ndarray
     exposure_a: float = 0.0
     exposure_b: float = 0.0
-    gt_image: Optional[np.ndarray] = None   # (3, H, W)
-    gt_depth: Optional[np.ndarray] = None   # (H, W)
-    grad_mask: Optional[np.ndarray] = None
+    gt_image: Optional[jnp.ndarray] = None   # (3, H, W) device
+    gt_depth: Optional[jnp.ndarray] = None   # (H, W) device
+    grad_mask: Optional[jnp.ndarray] = None  # (1, H, W) device
 
     def clean(self):
         self.gt_image = None
@@ -94,6 +127,9 @@ class FrontEnd:
         # cross-frame curvature reuse: re-run the FD probes every N frames
         # (0 disables reuse); invalidated when tracking hits max iters
         self.pyr_reprobe = int(T.get("pyr_reprobe", 5))
+        # constant-velocity warm start (see _warm_start); "prev" restores
+        # the reference's previous-pose-only behavior
+        self.const_vel = T.get("warm_start", "const_vel") == "const_vel"
         self._H_cache = None
         self._H_age = 0
         # bf16 kernels measured numerically fine but not faster as
@@ -122,15 +158,21 @@ class FrontEnd:
     def load_frame(self, idx: int) -> FrameRecord:
         image, depth, pose = self.dataset[idx]
         pose = np.asarray(pose)
-        gray = jnp.asarray(image).mean(axis=0, keepdims=True)
-        grad_mask = np.asarray(losses.compute_grad_mask(
-            gray, self.edge_threshold, self.dataset_type))
+        # ONE h2d upload per tensor; gray + edge mask derive on device
+        # (the former mask round trip alone was ~7 MB/frame of host-link
+        # traffic — the dominant per-frame cost through the axon tunnel)
+        d_image = jnp.asarray(image, jnp.float32)
+        d_depth = (None if depth is None
+                   else jnp.asarray(depth, jnp.float32))
+        gray = d_image.mean(axis=0, keepdims=True)
+        grad_mask = losses.compute_grad_mask(
+            gray, self.edge_threshold, self.dataset_type)
         rec = FrameRecord(
             uid=idx, R=pose[:3, :3].astype(np.float32),
             t=pose[:3, 3].astype(np.float32),
             R_gt=pose[:3, :3].astype(np.float32),
             t_gt=pose[:3, 3].astype(np.float32),
-            gt_image=np.asarray(image), gt_depth=depth,
+            gt_image=d_image, gt_depth=d_depth,
             grad_mask=grad_mask)
         self.frames[idx] = rec
         return rec
@@ -142,32 +184,35 @@ class FrontEnd:
         (reference slam_frontend.py:57-108)."""
         rec = self.frames[idx]
         self.kf_indices.append(idx)
-        gt_img = rec.gt_image
+        if not self.monocular:
+            # RGBD: pure device expression — no host transfer
+            valid_rgb = (rec.gt_image.sum(axis=0)
+                         > self.rgb_boundary_threshold)
+            return jnp.where(valid_rgb, rec.gt_depth, 0.0)
+        # monocular: host path (median/std statistics + host-rng noise,
+        # reference slam_frontend.py:73-106)
+        gt_img = np.asarray(rec.gt_image)
         valid_rgb = gt_img.sum(axis=0) > self.rgb_boundary_threshold
-        if self.monocular:
-            if depth is None:
-                initial = 2 * np.ones(gt_img.shape[1:], np.float32)
-                initial += (self._rng.standard_normal(initial.shape)
-                            .astype(np.float32) * 0.3)
+        if depth is None:
+            initial = 2 * np.ones(gt_img.shape[1:], np.float32)
+            initial += (self._rng.standard_normal(initial.shape)
+                        .astype(np.float32) * 0.3)
+        else:
+            depth = np.asarray(depth)[0]
+            opac = np.asarray(opacity)[0]
+            valid = (depth > 0) & (opac > 0.95) & valid_rgb
+            vals = depth[valid]
+            if vals.size == 0:
+                med, std = 2.0, 0.5
             else:
-                depth = np.asarray(depth)[0]
-                opac = np.asarray(opacity)[0]
-                valid = (depth > 0) & (opac > 0.95) & valid_rgb
-                vals = depth[valid]
-                if vals.size == 0:
-                    med, std = 2.0, 0.5
-                else:
-                    med, std = float(np.median(vals)), float(np.std(vals))
-                invalid = (depth > med + std) | (depth < med - std) | ~valid
-                depth = np.where(invalid, med, depth)
-                noise_scale = np.where(invalid, std * 0.5, std * 0.2)
-                initial = depth + (self._rng.standard_normal(depth.shape)
-                                   .astype(np.float32) * noise_scale)
-            initial[~valid_rgb] = 0
-            return initial.astype(np.float32)
-        initial = np.array(rec.gt_depth, np.float32)
+                med, std = float(np.median(vals)), float(np.std(vals))
+            invalid = (depth > med + std) | (depth < med - std) | ~valid
+            depth = np.where(invalid, med, depth)
+            noise_scale = np.where(invalid, std * 0.5, std * 0.2)
+            initial = depth + (self._rng.standard_normal(depth.shape)
+                               .astype(np.float32) * noise_scale)
         initial[~valid_rgb] = 0
-        return initial
+        return initial.astype(np.float32)
 
     # ------------------------------------------------------------------
     def initialize(self, idx: int, rec: FrameRecord):
@@ -182,12 +227,38 @@ class FrontEnd:
         self.reset = False
 
     # ------------------------------------------------------------------
+    def _warm_start(self, idx: int):
+        """Constant-velocity pose prediction: compose the last inter-frame
+        delta onto the previous pose. The reference warm-starts from the
+        previous pose alone (slam_frontend.py:129-130), which leaves the
+        FULL per-frame motion as initial error — at motion peaks that
+        rails the iteration cap and seeds keyframes with bad poses
+        (measured: the r2_room24 frame-10 excursion, docs/tpu_full_run).
+        Prediction is skipped when the last delta is implausibly large
+        (tracking-failure guard)."""
+        prev = self.frames[idx - 1]
+        prev2 = self.frames.get(idx - 2)
+        if prev2 is None or not self.const_vel:
+            return prev.R, prev.t
+
+        def T_of(r):
+            T = np.eye(4, dtype=np.float64)
+            T[:3, :3] = r.R
+            T[:3, 3] = r.t
+            return T
+
+        T1, T0 = T_of(prev), T_of(prev2)
+        D = T1 @ np.linalg.inv(T0)
+        if np.linalg.norm(D[:3, 3]) > 0.1 * max(self.median_depth, 1e-3):
+            return prev.R, prev.t
+        Tw = D @ T1
+        return Tw[:3, :3].astype(np.float32), Tw[:3, 3].astype(np.float32)
+
     def track(self, idx: int, rec: FrameRecord):
         """reference FrontEnd.tracking (slam_frontend.py:128-196)."""
-        prev = self.frames[idx - 1]
-        gt_depth = (np.zeros((1,) + rec.gt_image.shape[1:], np.float32)
-                    if rec.gt_depth is None else
-                    np.asarray(rec.gt_depth, np.float32)[None])
+        R_ws, t_ws = self._warm_start(idx)
+        gt_depth = (jnp.zeros((1,) + rec.gt_image.shape[1:], jnp.float32)
+                    if rec.gt_depth is None else rec.gt_depth[None])
         track_fn = {"gn": tracking.track_frame_gn,
                     "pyr": tracking.track_frame_pyr,
                     "adam": tracking.track_frame}.get(
@@ -232,7 +303,7 @@ class FrontEnd:
                       H_in=self._H_cache if reuse_H else None)
         res = track_fn(
             self.gm, self.cam,
-            jnp.asarray(prev.R), jnp.asarray(prev.t),
+            jnp.asarray(R_ws), jnp.asarray(t_ws),
             jnp.asarray(rec.gt_image), jnp.asarray(gt_depth),
             jnp.asarray(rec.grad_mask), self.bg,
             self.lr_rot, self.lr_trans, self.rgb_boundary_threshold,
@@ -241,8 +312,20 @@ class FrontEnd:
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle, **kw)
         R, t, ea, eb, iters, out, med = res[:7]
+        # ONE device concat + ONE d2h pull for every per-frame scalar —
+        # separate float()/np.asarray() pulls each cost a host-link round
+        # trip (~tens of ms through the tunnel), and there were seven
+        has_lvl = self.tracker == "pyr" and len(res) > 8
+        ovf = (out.overflow.astype(jnp.float32) if out.overflow is not None
+               else jnp.zeros((), jnp.float32))
+        parts = [jnp.ravel(R), jnp.ravel(t),
+                 jnp.stack([ea, eb, iters.astype(jnp.float32), med, ovf])]
+        if has_lvl:
+            parts.append(res[8].astype(jnp.float32))
+        packed = np.asarray(jnp.concatenate(parts))
+        iters = int(packed[14])
         if self.tracker == "pyr":
-            if int(iters) >= sum(kw["level_iters"]):
+            if iters >= sum(kw["level_iters"]):
                 # rail-stopped at the iteration cap on every level: the
                 # linearization the cached H came from is suspect — force
                 # fresh FD probes on the next frame
@@ -253,19 +336,29 @@ class FrontEnd:
                 self._H_age = 0
             else:
                 self._H_age += 1
-        rec.R, rec.t = np.asarray(R), np.asarray(t)
-        rec.exposure_a, rec.exposure_b = float(ea), float(eb)
-        self.median_depth = float(med)
-        ov = int(out.overflow) if out.overflow is not None else 0
+        rec.R = packed[:9].reshape(3, 3).astype(np.float32)
+        rec.t = packed[9:12].astype(np.float32)
+        rec.exposure_a, rec.exposure_b = float(packed[12]), float(packed[13])
+        self.median_depth = float(packed[15])
+        ov = int(packed[16])
+        if has_lvl:
+            lvl_ov = packed[17:].astype(np.int64)
+            if lvl_ov.any():
+                Log(f"pyramid-level pair overflow {lvl_ov.tolist()} at "
+                    f"levels {kw['levels']} — coarse IRLS gradients are "
+                    f"corrupted; raise Training.pair_capacity",
+                    tag="Frontend")
+            ov = max(ov, int(lvl_ov.max()))
         if ov > 0:
             Log(f"render pair overflow: {ov} pairs dropped "
                 f"(pair_capacity={self.pair_capacity}) — raise "
                 f"Training.pair_capacity", tag="Frontend")
-        return out, int(iters)
+        return out, iters
 
     # ------------------------------------------------------------------
-    def is_keyframe(self, cur_idx, last_kf_idx, cur_visibility):
-        """reference slam_frontend.py:198-225."""
+    def is_keyframe(self, cur_idx, last_kf_idx, point_ratio):
+        """reference slam_frontend.py:198-225 (the visibility overlap
+        ``point_ratio`` is precomputed on device by _overlap_stats)."""
         cur = self.frames[cur_idx]
         last = self.frames[last_kf_idx]
         pose_CW = np.eye(4); pose_CW[:3, :3] = cur.R; pose_CW[:3, 3] = cur.t
@@ -274,26 +367,19 @@ class FrontEnd:
         dist = np.linalg.norm((pose_CW @ last_WC)[:3, 3])
         dist_check = dist > self.kf_translation * self.median_depth
         dist_check2 = dist > self.kf_min_translation * self.median_depth
-
-        occ = self.occ_aware_visibility[last_kf_idx]
-        union = np.count_nonzero(cur_visibility | occ)
-        intersection = np.count_nonzero(cur_visibility & occ)
-        point_ratio = intersection / max(union, 1)
         return (point_ratio < self.kf_overlap and dist_check2) or dist_check
 
-    def add_to_window(self, cur_idx, cur_visibility, window):
-        """reference slam_frontend.py:227-286."""
+    def add_to_window(self, cur_idx, cut_ratios, window):
+        """reference slam_frontend.py:227-286. ``cut_ratios[i]`` is the
+        device-precomputed intersection/min-count overlap of the current
+        frame with window[i] (Szymkiewicz–Simpson)."""
         N_dont_touch = 2
         window = [cur_idx] + window
         removed_frame = None
         to_remove = []
         for i in range(N_dont_touch, len(window)):
             kf_idx = window[i]
-            occ = self.occ_aware_visibility[kf_idx]
-            intersection = np.count_nonzero(cur_visibility & occ)
-            denom = max(min(np.count_nonzero(cur_visibility),
-                            np.count_nonzero(occ)), 1)
-            ratio = intersection / denom
+            ratio = cut_ratios[i - 1]
             cut_off = self.kf_cutoff if self.initialized else 0.4
             if ratio <= cut_off:
                 to_remove.append(kf_idx)
@@ -406,20 +492,25 @@ class FrontEnd:
 
         last_kf = self.current_window[0]
         check_time = (idx - last_kf) >= self.kf_interval
-        curr_vis = np.asarray(out.n_touched) > 0
-        create_kf = self.is_keyframe(idx, last_kf, curr_vis)
+        # visibility vectors stay device-resident; ONE pull gets every
+        # overlap statistic the keyframing logic needs
+        curr_vis = out.n_touched > 0
+        occs = [self.occ_aware_visibility[u] for u in self.current_window]
+        K = len(occs)
+        st = _overlap_stats(curr_vis, occs)
+        inter, union, cnt_occ, cnt_cur = (
+            st[:K], st[K:2 * K], st[2 * K:3 * K], st[3 * K])
+        point_ratio = inter[0] / max(union[0], 1)
+        cut_ratios = inter / np.maximum(np.minimum(cnt_cur, cnt_occ), 1)
+        create_kf = self.is_keyframe(idx, last_kf, point_ratio)
         if len(self.current_window) < self.window_size:
-            occ = self.occ_aware_visibility[last_kf]
-            union = np.count_nonzero(curr_vis | occ)
-            intersection = np.count_nonzero(curr_vis & occ)
-            point_ratio = intersection / max(union, 1)
             create_kf = check_time and point_ratio < self.kf_overlap
         if self.single_thread:
             create_kf = check_time and create_kf
 
         if create_kf:
             self.current_window, removed = self.add_to_window(
-                idx, curr_vis, self.current_window)
+                idx, cut_ratios, self.current_window)
             if self.monocular and not self.initialized and removed is not None:
                 self.reset = True
                 Log("Keyframes lack sufficient overlap, resetting",
