@@ -792,11 +792,16 @@ def track_frame_pyr(
     plan_s1 = None
     sigma_prev = None
     H_out = []
+    # per-level pair-plan overflow: coarse levels run at a reduced pair
+    # capacity and a silent overflow there corrupts the IRLS gradient
+    # long before the (checked) full-res render overflows — surface it
+    lvl_overflow = []
 
     for li, (s, iters_l) in enumerate(zip(levels, level_iters)):
         if iters_l <= 0:
             H_out.append((jnp.eye(8), None, None) if H_in is None
                          else H_in[li])
+            lvl_overflow.append(jnp.zeros((), jnp.int32))
             continue
         exact_l = min(int(level_exact[li]), iters_l)
         need_J = exact_l < iters_l and curv == "fd"
@@ -843,6 +848,8 @@ def track_frame_pyr(
             step_cap=step_cap, exact_iters=exact_l, tile16=tile16)
         total_iters = total_iters + itr_l
         H_out.append(H_prev)
+        lvl_overflow.append(jnp.zeros((), jnp.int32) if plan_l is None
+                            else plan_l.overflow)
         if s == 1:
             plan_s1 = plan_l
 
@@ -853,4 +860,5 @@ def track_frame_pyr(
                  interpret=interpret, use_oracle=use_oracle,
                  plan=plan_s1, tile16=tile16)
     med = losses.median_depth(out.depth, out.opacity)
-    return R, t, ea, eb, total_iters, out, med, tuple(H_out)
+    return (R, t, ea, eb, total_iters, out, med, tuple(H_out),
+            jnp.stack(lvl_overflow))
