@@ -28,9 +28,14 @@ from .render_api import render
 
 class SLAM:
     def __init__(self, config: dict, save_dir: Optional[str] = None,
-                 interpret: bool = False, live_interval: float = 0.0):
+                 interpret: bool = False, live_interval: float = 0.0,
+                 viewer_port: Optional[int] = None, dataset=None):
         self.config = config
         self.save_dir = save_dir
+        # --viewer PORT: interactive browser viewer (gui/web.py), the
+        # displayless counterpart of the reference's Open3D window
+        self.viewer_port = viewer_port
+        self.web_viewer = None
         # --live: stream headless-viewer PNGs of the current map at this
         # interval while the system runs (the displayless stand-in for the
         # reference's interactive window, gui/slam_gui.py:540-571)
@@ -40,7 +45,8 @@ class SLAM:
         config["Training"].setdefault(
             "monocular",
             config["Dataset"].get("sensor_type") == "monocular")
-        self.dataset = load_dataset(config)
+        self.dataset = dataset if dataset is not None else \
+            load_dataset(config)
         self.monocular = config["Training"]["monocular"]
 
         self.cam = Camera.create(
@@ -60,6 +66,9 @@ class SLAM:
             n_frames, len(self.dataset))
         t0 = time.time()
         live_stop = self._start_live_stream()
+        if self.viewer_port is not None:
+            from ..gui.web import WebViewer
+            self.web_viewer = WebViewer(self, self.viewer_port).start()
         if self.use_threads:
             import queue as _q
 
@@ -69,11 +78,18 @@ class SLAM:
                           control_queue=self.control_queue)
         else:
             for idx in range(N):
+                # viewer pause point (the reference frontend's per-frame
+                # pause poll, slam_frontend.py:333-343)
+                while (self.web_viewer is not None
+                       and self.web_viewer.paused):
+                    time.sleep(0.05)
                 info = self.frontend.process_frame(idx)
                 if info.get("reset"):
                     continue
         if live_stop is not None:
             live_stop.set()
+        if self.web_viewer is not None:
+            self.web_viewer.stop()
         jax.block_until_ready(self.backend.gm.xyz)
         wall = time.time() - t0
         fps = N / wall

@@ -369,6 +369,12 @@ class SyntheticDataset(MonocularDataset):
                 w2c[2, 3] = scale * 0.1 * t
             self.poses.append(w2c)
         self.has_depth = True
+        # the host raytrace costs ~1.5 s/frame at Replica resolution —
+        # 50x what PNG-decode costs real datasets — and the scene is
+        # deterministic, so rendered frames are memoized (24 full-res
+        # frames ~ 380 MB; disable with Dataset.cache_frames: false)
+        self._cache_frames = config["Dataset"].get("cache_frames", True)
+        self._frame_cache = {}
 
     def _texture(self, pts):
         """(H, W, 3) multi-scale world-space texture for the room scene."""
@@ -416,7 +422,12 @@ class SyntheticDataset(MonocularDataset):
     def __getitem__(self, idx):
         w2c = self.poses[idx]
         if self.scene == "room":
-            img, depth = self._render_room(w2c)
+            if self._cache_frames and idx in self._frame_cache:
+                img, depth = self._frame_cache[idx]
+            else:
+                img, depth = self._render_room(w2c)
+                if self._cache_frames:
+                    self._frame_cache[idx] = (img, depth)
             return img, depth, w2c
         c2w = np.linalg.inv(w2c)
         H, W = self.height, self.width

@@ -102,6 +102,28 @@ def sync_hook(payload=None):
 
 fe.sync_backend = sync_hook
 
+if os.environ.get("TIMERS") == "1":
+    # stage timers around the backend keyframe path
+    import time as _t
+
+    import jax as _jax
+
+    be = slam.backend
+
+    def timed(name, fn):
+        def wrap(*a, **k):
+            t0 = _t.time()
+            r = fn(*a, **k)
+            _jax.block_until_ready(be.gm.xyz)
+            print(f"      [{name}] {_t.time()-t0:6.2f}s", flush=True)
+            return r
+        return wrap
+
+    be.add_next_kf = timed("add_next_kf", be.add_next_kf)
+    be.map = timed("map", be.map)
+    be._densify_and_prune = timed("densify", be._densify_and_prune)
+    be._run_batch = timed("run_batch", be._run_batch)
+
 for idx in range(N_FRAMES):
     info = fe.process_frame(idx)
     rec = fe.frames[idx]

@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--live", type=float, default=0.0, metavar="SEC",
                         help="stream headless-viewer PNGs of the evolving "
                              "map to <save_dir>/live every SEC seconds")
+    parser.add_argument("--viewer", type=int, default=None, metavar="PORT",
+                        help="serve the interactive browser viewer on "
+                             "http://127.0.0.1:PORT/ (0 = auto port)")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -63,7 +66,7 @@ def main():
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
 
     slam = SLAM(config, save_dir=save_dir, interpret=args.interpret,
-                live_interval=args.live)
+                live_interval=args.live, viewer_port=args.viewer)
     results = slam.run(
         n_frames=args.frames,
         eval_rendering=config["Results"].get("eval_rendering", False))
