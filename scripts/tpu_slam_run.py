@@ -8,6 +8,9 @@ plot/, renders/}.
 
 Usage: python scripts/tpu_slam_run.py [n_frames] [outdir]
 Env:   SCENE=room|plane  TILE16=1  FRESH_FPS=1 (second cached-compile pass)
+       ASYNC=1 (threaded frontend/backend pipeline — the reference's
+       two-process mode, slam.py:103-110: tracking overlaps the host side
+       of mapping; the backend maps 10 iters/KF + idle refinement)
 """
 
 import os
@@ -39,10 +42,11 @@ cfg["Dataset"]["scene"] = os.environ.get("SCENE", "room")
 cfg["Dataset"]["motion_scale"] = float(os.environ.get("MOTION", 0.5))
 cfg["Dataset"]["pcd_downsample_init"] = 16
 cfg["Dataset"]["pcd_downsample"] = 64
+ASYNC = os.environ.get("ASYNC") == "1"
 T = cfg["Training"]
 T["monocular"] = False
-T["single_thread"] = True
-cfg["Dataset"]["single_thread"] = True
+T["single_thread"] = not ASYNC
+cfg["Dataset"]["single_thread"] = not ASYNC
 T["initial_capacity"] = 1 << 17
 T["pair_capacity"] = 1 << (21 if os.environ.get("TILE16") == "1" else 20)
 T["tile16"] = os.environ.get("TILE16") == "1"
@@ -73,13 +77,19 @@ os.makedirs(save_dir, exist_ok=True)
 print("devices:", jax.devices(), flush=True)
 slam = SLAM(cfg, save_dir=save_dir)
 t0 = time.time()
-for idx in range(N_FRAMES):
-    t1 = time.time()
-    info = slam.frontend.process_frame(idx)
-    rec = slam.frontend.frames[idx]
-    terr = float(np.linalg.norm(rec.t - rec.t_gt))
-    print(f"frame {idx}: {time.time()-t1:6.1f}s kf={info.get('keyframe')} "
-          f"iters={info.get('iters')} terr={terr:.4f}", flush=True)
+if ASYNC:
+    from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
+        run_pipelined
+    run_pipelined(slam.frontend, slam.backend, N_FRAMES)
+else:
+    for idx in range(N_FRAMES):
+        t1 = time.time()
+        info = slam.frontend.process_frame(idx)
+        rec = slam.frontend.frames[idx]
+        terr = float(np.linalg.norm(rec.t - rec.t_gt))
+        print(f"frame {idx}: {time.time()-t1:6.1f}s "
+              f"kf={info.get('keyframe')} iters={info.get('iters')} "
+              f"terr={terr:.4f}", flush=True)
 wall = time.time() - t0
 results = dict(fps=N_FRAMES / wall, n_frames=N_FRAMES, wall_time=wall)
 results["ate"] = eval_utils.eval_ate(
@@ -96,8 +106,13 @@ if os.environ.get("FRESH_FPS") == "1":
     # honest wall-clock FPS with realistic (PNG-decode-grade) frame IO
     slam2 = SLAM(cfg, save_dir=None, dataset=slam.dataset)
     t0 = time.time()
-    for idx in range(N_FRAMES):
-        slam2.frontend.process_frame(idx)
+    if ASYNC:
+        from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
+            run_pipelined
+        run_pipelined(slam2.frontend, slam2.backend, N_FRAMES)
+    else:
+        for idx in range(N_FRAMES):
+            slam2.frontend.process_frame(idx)
     wall2 = time.time() - t0
     ate2 = eval_utils.eval_ate(
         slam2.frontend.frames, slam2.frontend.kf_indices, None, final=True,

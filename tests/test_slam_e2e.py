@@ -107,10 +107,10 @@ def test_slam_synthetic_rgbd_single_thread():
     import numpy as np
     assert np.isfinite(results["ate"]), results
     # motion amplitude is ~0.1 m (motion_scale 0.5, per-frame ~2-3 cm);
-    # the gate catches catastrophic tracking/mapping regressions (NaNs,
-    # no tracking, exploding maps) while tolerating the small-map
-    # photometric bias of this tiny scene
-    assert results["ate"] < 0.06, results
+    # measured 0.0295 with the r2 const-vel warm start at this 80x48
+    # resolution floor (1 px ~ 3 cm at scene depth) — full-res cm-grade
+    # evidence lives in docs/tpu_full_run (ATE 1.12 mm on-chip)
+    assert results["ate"] < 0.045, results
     assert int(slam.backend.gm.num_active()) > 100
     assert len(slam.frontend.kf_indices) >= 2
 
@@ -133,8 +133,9 @@ def test_slam_synthetic_rgbd_threaded():
     assert np.isfinite(results["ate"]), results
     # async mode maps only 10 iters/KF against a staler map (reference
     # slam_backend.py:421 semantics) — this gate checks the pipeline
-    # machinery stays sane, not accuracy
-    assert results["ate"] < 0.2, results
+    # machinery stays sane, not accuracy (measured 0.057 at the r2
+    # defaults)
+    assert results["ate"] < 0.12, results
     assert int(slam.backend.gm.num_active()) > 100
 
 
