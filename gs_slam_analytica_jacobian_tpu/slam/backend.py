@@ -202,8 +202,10 @@ class BackEnd:
         for j, uid in enumerate(random_uids[:2]):
             idx[self.window_size + j] = self.uid_to_slot[uid]
             valid[self.window_size + j] = True
+        # validity is known host-side: a statically fully-valid window
+        # takes mapping_steps' branch-free fast path
         return (jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(opt_pose),
-                jnp.asarray(opt_exp))
+                jnp.asarray(opt_exp), bool(valid.all()))
 
     def _pick_randoms(self):
         pool = [u for u in self.uid_to_slot
@@ -232,8 +234,9 @@ class BackEnd:
         rows = []
         valid = opt_pose = opt_exp = None
         for randoms in randoms_per_iter:
-            idx, valid, opt_pose, opt_exp = self._window_tensors(
-                window_uids, randoms, frames_to_optimize)
+            idx, valid, opt_pose, opt_exp, all_valid = \
+                self._window_tensors(window_uids, randoms,
+                                     frames_to_optimize)
             rows.append(idx)
         window_idx = jnp.stack(rows)
         xyz_lrs = jnp.asarray(
@@ -249,7 +252,8 @@ class BackEnd:
             alpha=self.alpha, monocular=self.monocular,
             initialization=initialization,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
-            use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16)
+            use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16,
+            all_valid=all_valid)
         self.iteration_count += T
         self.last_sent += T
         self.gm, self.gm_adam = out.gm, out.gm_adam

@@ -130,7 +130,7 @@ def _mapping_iter(
     cam_template, bg, gm_lrs, xyz_lr,
     lr_rot, lr_trans, rgb_boundary_threshold, n_window,
     alpha, monocular, initialization, pair_capacity, interpret, use_oracle,
-    mesh=None, tile16=False, window_plans=None,
+    mesh=None, tile16=False, window_plans=None, all_valid=False,
 ):
     """One map-optimization iteration (the body of BackEnd.map's loop,
     slam_backend.py:156-317).
@@ -154,8 +154,8 @@ def _mapping_iter(
         gm_p = gm_in.replace(**params)
 
         def frame_loss_with(plan):
-            def frame_loss(carry, xs):
-                (idx, ta, ea, eb, vf, m2o) = xs
+            def frame_body(xs):
+                (idx, ta, ea, eb, m2o) = xs
                 Rf = store_in.R[idx]
                 tf = store_in.t[idx]
                 gt_i = store_in.gt_image[idx]
@@ -178,14 +178,33 @@ def _mapping_iter(
                     L = losses.loss_mapping_rgbd(
                         image_ab, out.depth, gt_i, gt_d,
                         rgb_boundary_threshold, alpha)
-                L = jnp.where(vf, L, 0.0)
                 # n_touched is NOT computed in the optimization
                 # iterations — it is only consumed post-batch
                 # (visibility/covisibility, slam_backend.py:236-240), so
                 # mapping_steps renders it once at the final state
                 # instead of paying the per-chunk touch DMA every
                 # iteration
-                return carry + L, out.radii
+                return L, out.radii
+
+            def frame_loss(carry, xs):
+                (idx, ta, ea, eb, vf, m2o) = xs
+                if all_valid:
+                    # statically fully-valid window: skip the branch
+                    # (the cond costs ~12% on the full path)
+                    L, radii = frame_body((idx, ta, ea, eb, m2o))
+                    return carry + L, radii
+                # window slots are a STATIC shape but often sparsely
+                # valid (map init optimizes 1 frame; early keyframes 2-5;
+                # async random slots may be absent) — lax.cond makes the
+                # invalid slots cost nothing at runtime instead of a
+                # full-resolution render+grad each
+                L, radii = jax.lax.cond(
+                    vf,
+                    lambda xs_: frame_body(xs_),
+                    lambda xs_: (jnp.zeros(()),
+                                 jnp.zeros((C,), jnp.float32)),
+                    (idx, ta, ea, eb, m2o))
+                return carry + L, radii
             return frame_loss
 
         if window_plans is None:
@@ -334,7 +353,7 @@ def _mapping_iter(
     jax.jit,
     static_argnames=("monocular", "initialization",
                      "n_window", "pair_capacity", "interpret",
-                     "use_oracle", "mesh", "tile16"))
+                     "use_oracle", "mesh", "tile16", "all_valid"))
 def mapping_steps(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -360,6 +379,7 @@ def mapping_steps(
     use_oracle: bool = False,
     tile16: bool = False,
     mesh=None,
+    all_valid: bool = False,
 ) -> MapStepOut:
     """T map iterations in ONE device program (lax.scan over
     _mapping_iter). The torch reference dispatches hundreds of kernels per
@@ -384,7 +404,7 @@ def mapping_steps(
             cov6=gm.get_cov6(), opac=gm.get_opacity(),
             feats=gm.get_features())
 
-        def build_plan(idx):
+        def build_plan_valid(idx):
             cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
             prep = gmath.preprocess(
                 gm.xyz, prep_base["cov6"], prep_base["opac"],
@@ -396,7 +416,21 @@ def mapping_steps(
                              active=gm.active, radius_scale=1.1,
                              radius_pad=6.0, tile16=tile16)
 
-        window_plans = jax.lax.map(build_plan, window_idx[0, :n_window])
+        def build_plan(args):
+            idx, vf = args
+            if all_valid:
+                return build_plan_valid(idx)
+            # invalid slots never render (frame_loss cond) — skip the
+            # preprocess+sort at runtime
+            zero_plan = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(build_plan_valid, idx))
+            return jax.lax.cond(
+                vf, build_plan_valid, lambda i: zero_plan, idx)
+
+        window_plans = jax.lax.map(
+            build_plan, (window_idx[0, :n_window],
+                         window_valid[:n_window]))
     else:
         window_plans = None
 
@@ -410,7 +444,7 @@ def mapping_steps(
             lr_rot, lr_trans, rgb_boundary_threshold, n_window,
             alpha, monocular, initialization, pair_capacity, interpret,
             use_oracle, mesh=mesh, tile16=tile16,
-            window_plans=window_plans)
+            window_plans=window_plans, all_valid=all_valid)
         return ((out.gm, out.gm_adam, out.store, out.pose_adam,
                  out.n_touched, out.radii), out.loss)
 
@@ -421,14 +455,25 @@ def mapping_steps(
     # n_touched once, at the FINAL state (its consumers — occ-aware
     # visibility, covisibility pruning, keyframe overlap — all run after
     # the batch; reference slam_backend.py:236-240 uses the last render's)
-    def nt_frame(idx):
-        cam = cam_template.replace(R=store_f.R[idx], t=store_f.t[idx])
-        out = render(gm_f, cam, None, bg, pair_capacity=pair_capacity,
-                     interpret=interpret, use_oracle=use_oracle,
-                     tile16=tile16)
-        return out.n_touched
+    def nt_frame(args):
+        idx, vf = args
 
-    nt_f = jax.lax.map(nt_frame, window_idx[-1])
+        def go(idx):
+            cam = cam_template.replace(R=store_f.R[idx],
+                                       t=store_f.t[idx])
+            out = render(gm_f, cam, None, bg,
+                         pair_capacity=pair_capacity,
+                         interpret=interpret, use_oracle=use_oracle,
+                         tile16=tile16)
+            return out.n_touched
+
+        if all_valid:
+            return go(idx)
+        return jax.lax.cond(
+            vf, go,
+            lambda i: jnp.zeros((gm_f.capacity,), jnp.int32), idx)
+
+    nt_f = jax.lax.map(nt_frame, (window_idx[-1], window_valid))
     return MapStepOut(gm=gm_f, gm_adam=adam_f, store=store_f,
                       pose_adam=pose_f, loss=losses_t[-1],
                       n_touched=nt_f, radii=r_f)
