@@ -197,13 +197,16 @@ def main():
                 "adam": tracking.track_frame}[tracker]
     max_iters = 100 if tracker == "adam" else 20
 
-    # defaults mirror the frontend's r2 defaults: per-iteration flow-
-    # Jacobian IRLS steps (fwd-only) + one exact analytic-gradient polish
-    # at full res, plan pad 4 (measured 4.3 FPS @ 0.1 mm; see PERF.md)
+    # defaults mirror the frontend's r3 defaults: per-iteration flow-
+    # Jacobian IRLS steps (fwd-only) on every level, plan pad 4; the
+    # exact analytic polish runs only on keyframe creation in the
+    # frontend (tracking.polish_frame), so the per-frame workload
+    # measured here is IRLS-only (measured 0.078 mm with or without a
+    # per-frame polish on this scene; see PERF.md)
     kw = {}
     if tracker == "pyr":
         kw["curv"] = "flow"
-        kw["level_exact"] = (0, 0, 1)
+        kw["level_exact"] = (0, 0, 0)
         kw["plan_pad"] = 4.0
         if "BENCH_LEVELS" in os.environ:
             kw["levels"] = tuple(
@@ -236,6 +239,8 @@ def main():
     reuse_H = (tracker == "pyr"
                and os.environ.get("BENCH_REUSE_H", "1") == "1")
 
+    cap_eff = [PAIR_CAP]   # adaptive bucket (see frontend.track)
+
     def track_one(k, R_start, t_start, H_in):
         kw_k = dict(kw)
         if tracker == "pyr":
@@ -244,7 +249,7 @@ def main():
             gm, cam, R_start, t_start,
             gts[k][0], gts[k][1], gts[k][2], bg,
             lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
-            max_iters=max_iters, pair_capacity=PAIR_CAP, **kw_k)
+            max_iters=max_iters, pair_capacity=cap_eff[0], **kw_k)
 
     def sync(x):
         return float(jnp.sum(x.ravel()[:1]))
@@ -269,7 +274,7 @@ def main():
         t_est = jnp.asarray(poses[0][:3, 3]) + eps
         R_pp = t_pp = None
         H_carry = None
-        errs, iters_tot = [], 0
+        errs, iters_tot, npairs = [], 0, 0
         for k in range(1, F):
             if const_vel and R_pp is not None:
                 R_ws, t_ws = cv_start(R_est, t_est, R_pp, t_pp)
@@ -285,16 +290,30 @@ def main():
                 iters_tot += int(res[4])
                 errs.append(float(jnp.linalg.norm(
                     t_est - jnp.asarray(poses[k][:3, 3]))))
-        return errs, iters_tot, t_est
+                if tracker == "pyr" and len(res) > 9:
+                    npairs = max(npairs, int(res[9]))
+        return errs, iters_tot, t_est, npairs
 
     # warmup / compile (both H_in variants) + accuracy collection
-    errs, iters_tot, t_last = run_sequence(jnp.zeros(3), collect=True)
+    errs, iters_tot, t_last, npairs = run_sequence(jnp.zeros(3),
+                                                   collect=True)
+
+    # adaptive pair-capacity bucket (the frontend's steady-state rule:
+    # observed pairs x1.5 headroom, 128k quanta, config cap as ceiling)
+    if (tracker == "pyr" and npairs > 0
+            and os.environ.get("BENCH_ADAPT", "1") == "1"):
+        q = 1 << 17
+        want = min(max(-(-npairs * 3 // 2 // q) * q, q), PAIR_CAP)
+        if want != cap_eff[0]:
+            cap_eff[0] = want
+            errs, iters_tot, t_last, _ = run_sequence(jnp.zeros(3),
+                                                      collect=True)
 
     n_rep = int(os.environ.get("BENCH_REPS", 3))
     eps = jnp.zeros(3)
     t_begin = time.time()
     for _ in range(n_rep):
-        _, _, t_last = run_sequence(eps)
+        _, _, t_last, _ = run_sequence(eps)
         eps = t_last * 1e-30
     sync(t_last)
     dt = (time.time() - t_begin) / (n_rep * (F - 1))
@@ -310,7 +329,8 @@ def main():
             "frames": F - 1,
             "iters_per_frame": round(iters_tot / (F - 1), 2),
             "ms_per_frame": round(dt * 1000, 2),
-            "pair_capacity": PAIR_CAP,
+            "pair_capacity": cap_eff[0],
+            "pair_capacity_ceiling": PAIR_CAP,
             "gt_render_overflow": overflow,
             "tracker": tracker,
             "reuse_H": reuse_H,

@@ -104,6 +104,20 @@ class FrontEnd:
         self.lr_rot = T["lr"]["cam_rot_delta"]
         self.lr_trans = T["lr"]["cam_trans_delta"]
         self.pair_capacity = T.get("pair_capacity", 1 << 20)
+        # Adaptive pair capacity: plan_pairs cost scales with the STATIC
+        # capacity, not the pairs actually emitted (the sort/scan lengths
+        # are shapes) — so the frontend sizes tracking programs to the
+        # observed pair count in 128k quanta with 1.5x headroom, shrinking
+        # only after a steady streak and growing (with one re-track)
+        # immediately on overflow. The CUDA reference resizes its binning
+        # arenas the same lazily-grown way (rasterizer_impl.cu:155-194);
+        # here each bucket is one extra XLA compile, served by the
+        # persistent cache after the first run. pair_capacity (config) is
+        # the ceiling; adapt_pair_capacity=false pins it.
+        self.cap_adaptive = bool(T.get("adapt_pair_capacity", True))
+        self._cap_quantum = 1 << 17
+        self._cap_eff = self.pair_capacity
+        self._cap_shrink_streak = 0
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
         # "pyr" = coarse-to-fine IRLS Gauss-Newton (default); "gn" =
         # single-level GN; "adam" = the reference's Adam loop
@@ -112,10 +126,13 @@ class FrontEnd:
         self.pyr_levels = tuple(T.get("pyr_levels", (4, 2, 1)))
         self.pyr_iters = tuple(T.get("pyr_iters", (5, 3, 12)))
         # trailing exact-gradient iterations per level: "auto" (default)
-        # runs fwd-only IRLS steps everywhere plus ONE exact analytic-
-        # gradient polish at full res — the r2-measured best config
-        # (4.3 FPS @ 0.1 mm vs 1.0 FPS @ 1.5 mm all-exact, PERF.md);
-        # an explicit tuple pins counts, null/None = all exact
+        # runs fwd-only IRLS steps on every level and pins the exact L1
+        # fixed point with a 2-iteration analytic polish ONLY on keyframe
+        # creation (tracking.polish_frame) — measured r3: the flow-IRLS
+        # fixed point already sits at the accuracy floor (0.078 mm with
+        # or without a per-frame polish), so the per-frame fwd+bwd pass
+        # was pure cost (6.2 vs 4.3 FPS, PERF.md); an explicit tuple pins
+        # per-frame exact counts, null/None = all exact
         pe = T.get("pyr_exact", "auto")
         self.pyr_exact = pe if pe == "auto" else (
             None if pe is None else tuple(pe))
@@ -270,7 +287,7 @@ class FrontEnd:
             # drop pyramid levels that undershoot one 32x32 tile
             levels, iters, exacts = [], [], []
             if self.pyr_exact == "auto":
-                pyr_exact = [0] * (len(self.pyr_iters) - 1) + [1]
+                pyr_exact = [0] * len(self.pyr_iters)
             elif self.pyr_exact is None:
                 pyr_exact = self.pyr_iters
             else:
@@ -283,11 +300,11 @@ class FrontEnd:
                     exacts.append(ex)
             if not levels:
                 levels, iters = [1], [max(self.pyr_iters)]
-                exacts = [1 if self.pyr_exact == "auto" else iters[0]]
+                exacts = [0 if self.pyr_exact == "auto" else iters[0]]
             if levels[-1] != 1:
                 levels.append(1)
                 iters.append(2)
-                exacts.append(1 if self.pyr_exact == "auto" else 2)
+                exacts.append(0 if self.pyr_exact == "auto" else 2)
             reuse_H = (self.pyr_reprobe > 0 and self._H_cache is not None
                        and self._H_age < self.pyr_reprobe
                        and len(self._H_cache) == len(levels))
@@ -301,28 +318,54 @@ class FrontEnd:
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
                       H_in=self._H_cache if reuse_H else None)
-        res = track_fn(
-            self.gm, self.cam,
-            jnp.asarray(R_ws), jnp.asarray(t_ws),
-            jnp.asarray(rec.gt_image), jnp.asarray(gt_depth),
-            jnp.asarray(rec.grad_mask), self.bg,
-            self.lr_rot, self.lr_trans, self.rgb_boundary_threshold,
-            alpha=self.alpha, monocular=self.monocular,
-            max_iters=max_iters,
-            pair_capacity=self.pair_capacity, interpret=self.interpret,
-            use_oracle=self.use_oracle, **kw)
-        R, t, ea, eb, iters, out, med = res[:7]
-        # ONE device concat + ONE d2h pull for every per-frame scalar —
-        # separate float()/np.asarray() pulls each cost a host-link round
-        # trip (~tens of ms through the tunnel), and there were seven
-        has_lvl = self.tracker == "pyr" and len(res) > 8
-        ovf = (out.overflow.astype(jnp.float32) if out.overflow is not None
-               else jnp.zeros((), jnp.float32))
-        parts = [jnp.ravel(R), jnp.ravel(t),
-                 jnp.stack([ea, eb, iters.astype(jnp.float32), med, ovf])]
-        if has_lvl:
-            parts.append(res[8].astype(jnp.float32))
-        packed = np.asarray(jnp.concatenate(parts))
+        adaptive = (self.cap_adaptive and self.tracker == "pyr"
+                    and not self.use_oracle)
+        cap = self._cap_eff if adaptive else self.pair_capacity
+        for _attempt in range(3):
+            res = track_fn(
+                self.gm, self.cam,
+                jnp.asarray(R_ws), jnp.asarray(t_ws),
+                jnp.asarray(rec.gt_image), jnp.asarray(gt_depth),
+                jnp.asarray(rec.grad_mask), self.bg,
+                self.lr_rot, self.lr_trans, self.rgb_boundary_threshold,
+                alpha=self.alpha, monocular=self.monocular,
+                max_iters=max_iters,
+                pair_capacity=cap, interpret=self.interpret,
+                use_oracle=self.use_oracle, **kw)
+            R, t, ea, eb, iters, out, med = res[:7]
+            # ONE device concat + ONE d2h pull for every per-frame scalar
+            # — separate float()/np.asarray() pulls each cost a host-link
+            # round trip (~tens of ms through the tunnel); there were 7
+            has_lvl = self.tracker == "pyr" and len(res) > 8
+            ovf = (out.overflow.astype(jnp.float32)
+                   if out.overflow is not None
+                   else jnp.zeros((), jnp.float32))
+            npairs = (res[9].astype(jnp.float32) if len(res) > 9
+                      else jnp.zeros((), jnp.float32))
+            parts = [jnp.ravel(R), jnp.ravel(t),
+                     jnp.stack([ea, eb, iters.astype(jnp.float32), med,
+                                ovf, npairs])]
+            if has_lvl:
+                parts.append(res[8].astype(jnp.float32))
+            packed = np.asarray(jnp.concatenate(parts))
+            ov = int(packed[16])
+            if has_lvl:
+                lvl_ov = packed[18:].astype(np.int64)
+                if lvl_ov.any():
+                    Log(f"pyramid-level pair overflow {lvl_ov.tolist()} "
+                        f"at levels {kw['levels']} (capacity {cap})",
+                        tag="Frontend")
+                ov = max(ov, int(lvl_ov.max()))
+            if ov > 0 and adaptive and cap < self.pair_capacity:
+                # an overflowing plan dropped pairs — the gradient was
+                # corrupted; grow the bucket and re-track this frame
+                cap = min(cap * 2, self.pair_capacity)
+                self._cap_eff = cap
+                self._cap_shrink_streak = 0
+                Log(f"pair overflow: re-tracking at capacity {cap}",
+                    tag="Frontend")
+                continue
+            break
         iters = int(packed[14])
         if self.tracker == "pyr":
             if iters >= sum(kw["level_iters"]):
@@ -340,22 +383,56 @@ class FrontEnd:
         rec.t = packed[9:12].astype(np.float32)
         rec.exposure_a, rec.exposure_b = float(packed[12]), float(packed[13])
         self.median_depth = float(packed[15])
-        ov = int(packed[16])
-        if has_lvl:
-            lvl_ov = packed[17:].astype(np.int64)
-            if lvl_ov.any():
-                Log(f"pyramid-level pair overflow {lvl_ov.tolist()} at "
-                    f"levels {kw['levels']} — coarse IRLS gradients are "
-                    f"corrupted; raise Training.pair_capacity",
-                    tag="Frontend")
-            ov = max(ov, int(lvl_ov.max()))
         if ov > 0:
             Log(f"render pair overflow: {ov} pairs dropped "
-                f"(pair_capacity={self.pair_capacity}) — raise "
+                f"(pair_capacity={cap}) — raise "
                 f"Training.pair_capacity", tag="Frontend")
+        elif adaptive:
+            # steady-state shrink: quantized observed-pairs bucket with
+            # 1.5x headroom, after a 5-frame streak below the current one
+            want = int(packed[17]) * 3 // 2
+            want = -(-max(want, 1) // self._cap_quantum) * self._cap_quantum
+            want = min(max(want, self._cap_quantum), self.pair_capacity)
+            if want < self._cap_eff:
+                self._cap_shrink_streak += 1
+                if self._cap_shrink_streak >= 5:
+                    Log(f"shrinking tracking pair capacity "
+                        f"{self._cap_eff} -> {want}", tag="Frontend")
+                    self._cap_eff = want
+                    self._cap_shrink_streak = 0
+            else:
+                self._cap_shrink_streak = 0
         return out, iters
 
     # ------------------------------------------------------------------
+    def polish(self, idx: int, rec: FrameRecord):
+        """Exact analytic-gradient polish of a pose about to be persisted
+        as a keyframe (the IRLS-only per-frame tracker's counterpart of
+        the reference's always-exact gradient; see tracking.polish_frame).
+        Only active for the default ``pyr_exact='auto'`` pyramid tracker —
+        explicit configs already run their chosen exact iterations."""
+        if self.tracker != "pyr" or self.pyr_exact != "auto":
+            return
+        gt_depth = (jnp.zeros((1,) + rec.gt_image.shape[1:], jnp.float32)
+                    if rec.gt_depth is None else rec.gt_depth[None])
+        res = tracking.polish_frame(
+            self.gm, self.cam, jnp.asarray(rec.R), jnp.asarray(rec.t),
+            jnp.asarray(rec.exposure_a, jnp.float32),
+            jnp.asarray(rec.exposure_b, jnp.float32),
+            rec.gt_image, gt_depth, rec.grad_mask, self.bg,
+            self.rgb_boundary_threshold, alpha=self.alpha,
+            monocular=self.monocular,
+            pair_capacity=(self._cap_eff if self.cap_adaptive
+                           and not self.use_oracle else self.pair_capacity),
+            interpret=self.interpret, use_oracle=self.use_oracle,
+            tile16=self.tile16 and not self.use_oracle)
+        packed = np.asarray(jnp.concatenate(
+            [jnp.ravel(res[0]), jnp.ravel(res[1]),
+             jnp.stack([res[2], res[3]])]))
+        rec.R = packed[:9].reshape(3, 3).astype(np.float32)
+        rec.t = packed[9:12].astype(np.float32)
+        rec.exposure_a, rec.exposure_b = float(packed[12]), float(packed[13])
+
     def is_keyframe(self, cur_idx, last_kf_idx, point_ratio):
         """reference slam_frontend.py:198-225 (the visibility overlap
         ``point_ratio`` is precomputed on device by _overlap_stats)."""
@@ -509,6 +586,11 @@ class FrontEnd:
             create_kf = check_time and create_kf
 
         if create_kf:
+            # keyframe poses are persisted (seeding, mapping anchor, ATE)
+            # — pin the exact L1 fixed point before the pose leaves the
+            # frontend (see tracking.polish_frame; non-KF frames stay at
+            # the IRLS fixed point, measured equal on converged maps)
+            self.polish(idx, rec)
             self.current_window, removed = self.add_to_window(
                 idx, cut_ratios, self.current_window)
             if self.monocular and not self.initialized and removed is not None:

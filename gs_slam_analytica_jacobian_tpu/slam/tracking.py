@@ -711,6 +711,52 @@ def _gn_level(
         sigma_f
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("monocular", "iters", "pair_capacity", "interpret",
+                     "use_oracle", "tile16"))
+def polish_frame(
+    gm: GaussianMap,
+    cam_template: Camera,
+    R0: jnp.ndarray, t0: jnp.ndarray,
+    ea0: jnp.ndarray, eb0: jnp.ndarray,
+    gt_image: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    grad_mask: jnp.ndarray,
+    bg: jnp.ndarray,
+    rgb_boundary_threshold: float,
+    alpha: float = 0.95,
+    monocular: bool = False,
+    iters: int = 2,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+    tile16: bool = False,
+):
+    """Exact analytic-gradient polish at full resolution, from an
+    already-converged IRLS pose.
+
+    Rationale (measured, PERF.md r3): the per-iteration flow-Jacobian
+    IRLS fixed point sits at the accuracy floor on converged-map scenes,
+    so paying a renderer fwd+bwd every frame buys nothing — but the IRLS
+    gradient is only the exact analytic dL/dtau in the limit, and pose
+    bias matters exactly where a pose is persisted: keyframes (they seed
+    gaussians and anchor mapping/ATE; reference eval_utils.py:29-38
+    evaluates keyframe trajectories). So the frontend tracks every frame
+    IRLS-only and pins the exact L1 fixed point here, on keyframe
+    creation only.
+
+    Returns (R, t, exposure_a, exposure_b, iters_done).
+    """
+    R, t, ea, eb, itr, _, _, _ = _gn_level(
+        gm, cam_template, R0, t0, ea0, eb0, gt_image, gt_depth, grad_mask,
+        bg, rgb_boundary_threshold, alpha, monocular, iters, pair_capacity,
+        interpret, use_oracle, fd_eps=1e-3, lm_lambda=1e-2, radius_pad=2.0,
+        H_frozen=None, curv="flow", sigma0=1e-3, sigma_decay=0.8,
+        sigma_in=None, step_cap=0.05, exact_iters=iters, tile16=tile16)
+    return R, t, ea, eb, itr
+
+
 def _strip_J(entry):
     """Cross-LEVEL H reuse: the coarser level's normal matrix transfers
     (mean-normalized entries are resolution-invariant) but its probe
@@ -812,7 +858,12 @@ def track_frame_pyr(
             gt_i = _pool_avg(gt_image, s)
             gt_d = _stride_center(gt_depth, s)
             gm_l = _pool_max(grad_mask, s)
-        cap_l = pair_capacity if s == 1 else max(1 << 16, pair_capacity // 2)
+        # Coarse-level plans carry ~s^2 fewer pairs (tile grid shrinks as
+        # s^2; the radius floor + pad/s keep it slightly above that), and
+        # plan_pairs cost scales with CAPACITY, not occupancy — so size
+        # coarse plans down accordingly. Overflow is surfaced per level.
+        cap_l = (pair_capacity if s == 1
+                 else max(1 << 17, pair_capacity // (s * s)))
         if H_in is not None and curv != "flow":
             # cross-frame curvature reuse: viewpoints move slowly, so the
             # previous frame's per-level normal matrices (and probe
@@ -860,5 +911,7 @@ def track_frame_pyr(
                  interpret=interpret, use_oracle=use_oracle,
                  plan=plan_s1, tile16=tile16)
     med = losses.median_depth(out.depth, out.opacity)
+    num_pairs = (jnp.zeros((), jnp.int32) if plan_s1 is None
+                 else plan_s1.num_pairs)
     return (R, t, ea, eb, total_iters, out, med, tuple(H_out),
-            jnp.stack(lvl_overflow))
+            jnp.stack(lvl_overflow), num_pairs)
