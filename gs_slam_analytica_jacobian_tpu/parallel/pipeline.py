@@ -110,7 +110,14 @@ def backend_loop(backend, backend_queue: queue.Queue,
             if paused or len(backend.current_window) == 0:
                 time.sleep(0.01)
                 continue
-            backend.map(backend.current_window)
+            # idle refinement (reference slam_backend.py:369-383 runs ONE
+            # iteration per loop — its binning is free). Here a plan
+            # build costs a large fraction of one iteration, so idle
+            # iterations run in small device batches (idle_batch,
+            # default 4) that amortize the window plans; message latency
+            # stays bounded by one batch.
+            backend.map(backend.current_window,
+                        iters=getattr(backend, "idle_batch", 4))
             if backend.last_sent >= 10:
                 backend.map(backend.current_window, prune=True, iters=10)
                 push()

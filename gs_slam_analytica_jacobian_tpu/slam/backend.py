@@ -58,6 +58,8 @@ class BackEnd:
         self.alpha = T.get("alpha", 0.95)
         self.single_thread = config["Dataset"].get("single_thread", False)
         self.prune_mode = T.get("prune_mode", "slam")
+        # async idle-refinement batch size (parallel.pipeline.backend_loop)
+        self.idle_batch = int(T.get("idle_batch", 4))
         self.kf_capacity = T.get("kf_capacity", 128)
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
         self.tile16 = bool(T.get("tile16", False))
