@@ -216,22 +216,25 @@ class BackEnd:
         return pool[:2]
 
     def _run_batch(self, window_uids, randoms_per_iter, frames_to_optimize,
-                   initialization):
+                   initialization, need_nt=True):
         """Run a batch of map iterations as device programs. Batches are
         decomposed into power-of-2 chunks so mapping_steps only ever
         compiles for log-many scan lengths instead of one program per
-        distinct iteration count."""
+        distinct iteration count. ``need_nt``: whether this batch's final
+        state must carry window n_touched (only the batch whose output
+        feeds visibility/prune consumers pays the F extra renders)."""
         out = None
         rest = randoms_per_iter
         while rest:
             T = 1 << (len(rest).bit_length() - 1)   # largest pow2 <= len
-            out = self._run_batch_exact(window_uids, rest[:T],
-                                        frames_to_optimize, initialization)
+            out = self._run_batch_exact(
+                window_uids, rest[:T], frames_to_optimize, initialization,
+                need_nt=need_nt and len(rest) == T)
             rest = rest[T:]
         return out
 
     def _run_batch_exact(self, window_uids, randoms_per_iter,
-                         frames_to_optimize, initialization):
+                         frames_to_optimize, initialization, need_nt=True):
         T = len(randoms_per_iter)
         rows = []
         valid = opt_pose = opt_exp = None
@@ -255,7 +258,7 @@ class BackEnd:
             initialization=initialization,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16,
-            all_valid=all_valid)
+            all_valid=all_valid, need_n_touched=need_nt)
         self.iteration_count += T
         self.last_sent += T
         self.gm, self.gm_adam = out.gm, out.gm_adam
@@ -305,7 +308,8 @@ class BackEnd:
             randoms = [self._pick_randoms() if not initialization else []
                        for _ in range(batch)]
             out = self._run_batch(window_uids, randoms, frames_to_optimize,
-                                  initialization)
+                                  initialization,
+                                  need_nt=prune or batch == remaining)
             remaining -= batch
 
             if prune:

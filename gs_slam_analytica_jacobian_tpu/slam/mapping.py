@@ -353,7 +353,8 @@ def _mapping_iter(
     jax.jit,
     static_argnames=("monocular", "initialization",
                      "n_window", "pair_capacity", "interpret",
-                     "use_oracle", "mesh", "tile16", "all_valid"))
+                     "use_oracle", "mesh", "tile16", "all_valid",
+                     "need_n_touched"))
 def mapping_steps(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -380,6 +381,7 @@ def mapping_steps(
     tile16: bool = False,
     mesh=None,
     all_valid: bool = False,
+    need_n_touched: bool = True,
 ) -> MapStepOut:
     """T map iterations in ONE device program (lax.scan over
     _mapping_iter). The torch reference dispatches hundreds of kernels per
@@ -452,16 +454,48 @@ def mapping_steps(
         body, (gm, gm_adam, store, pose_adam, nt0, r0),
         (window_idx, xyz_lrs))
 
-    # n_touched once, at the FINAL state (its consumers — occ-aware
-    # visibility, covisibility pruning, keyframe overlap — all run after
-    # the batch; reference slam_backend.py:236-240 uses the last render's)
+    if need_n_touched:
+        # n_touched at the FINAL state (consumers — occ-aware visibility,
+        # covisibility pruning — run after the LAST batch of a map() call;
+        # reference slam_backend.py:236-240 uses the last render's). The
+        # backend requests this only on its final/prune batches
+        # (window_visibility below), so intermediate batches skip the F
+        # extra full renders entirely.
+        nt_f = window_visibility(
+            gm_f, store_f, window_idx[-1], window_valid, cam_template, bg,
+            pair_capacity=pair_capacity, interpret=interpret,
+            use_oracle=use_oracle, tile16=tile16, all_valid=all_valid)
+    return MapStepOut(gm=gm_f, gm_adam=adam_f, store=store_f,
+                      pose_adam=pose_f, loss=losses_t[-1],
+                      n_touched=nt_f, radii=r_f)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pair_capacity", "interpret", "use_oracle", "tile16",
+                     "all_valid"))
+def window_visibility(
+    gm: GaussianMap,
+    store: KFStore,
+    window_idx: jnp.ndarray,       # (F,) int32 slots
+    window_valid: jnp.ndarray,     # (F,) bool
+    cam_template: Camera,
+    bg: jnp.ndarray,
+    pair_capacity: int = 1 << 20,
+    interpret: bool = False,
+    use_oracle: bool = False,
+    tile16: bool = False,
+    all_valid: bool = False,
+) -> jnp.ndarray:
+    """Per-window-frame n_touched at the current map/pose state — the
+    reference's occ-aware visibility source (slam_backend.py:236-240)."""
+
     def nt_frame(args):
         idx, vf = args
 
         def go(idx):
-            cam = cam_template.replace(R=store_f.R[idx],
-                                       t=store_f.t[idx])
-            out = render(gm_f, cam, None, bg,
+            cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
+            out = render(gm, cam, None, bg,
                          pair_capacity=pair_capacity,
                          interpret=interpret, use_oracle=use_oracle,
                          tile16=tile16)
@@ -471,12 +505,9 @@ def mapping_steps(
             return go(idx)
         return jax.lax.cond(
             vf, go,
-            lambda i: jnp.zeros((gm_f.capacity,), jnp.int32), idx)
+            lambda i: jnp.zeros((gm.capacity,), jnp.int32), idx)
 
-    nt_f = jax.lax.map(nt_frame, (window_idx[-1], window_valid))
-    return MapStepOut(gm=gm_f, gm_adam=adam_f, store=store_f,
-                      pose_adam=pose_f, loss=losses_t[-1],
-                      n_touched=nt_f, radii=r_f)
+    return jax.lax.map(nt_frame, (window_idx, window_valid))
 
 
 @functools.partial(
