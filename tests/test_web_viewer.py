@@ -33,6 +33,8 @@ def tiny_slam():
     T["tracking_itr_num"] = 3
     T["pyr_iters"] = [2, 2, 2]
     T["mapping_itr_num"] = 2
+    T["window_size"] = 3          # F=5 mapping programs (vs default 10)
+    T["pose_window"] = 2
     T["initial_capacity"] = 4096
     T["kf_capacity"] = 8
     T["monocular"] = False
