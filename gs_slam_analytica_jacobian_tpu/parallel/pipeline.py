@@ -208,5 +208,12 @@ def run_pipelined(frontend, backend, n_frames: int,
         link.wait_all_keyframes(frontend)
     finally:
         backend_queue.put(["stop"])
-        thread.join(timeout=60)
+        # a backend mid-batch can legitimately take minutes (a fresh
+        # mapping_steps variant compiles 1-3 min through the axon
+        # tunnel); abandoning the thread leaves it contending with
+        # whatever runs next on the device, so wait it out
+        thread.join(timeout=900)
+        if thread.is_alive():
+            Log("backend thread still alive after 900s stop wait",
+                tag="Pipeline")
         frontend.link = None

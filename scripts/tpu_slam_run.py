@@ -80,7 +80,15 @@ t0 = time.time()
 if ASYNC:
     from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
         run_pipelined
-    run_pipelined(slam.frontend, slam.backend, N_FRAMES)
+
+    def _cb(i, _t0=t0):
+        rec = slam.frontend.frames.get(i)
+        terr = (float(np.linalg.norm(rec.t - rec.t_gt))
+                if rec is not None else float("nan"))
+        print(f"frame {i}: t={time.time()-_t0:7.1f}s terr={terr:.4f} "
+              f"kfs={len(slam.frontend.kf_indices)}", flush=True)
+
+    run_pipelined(slam.frontend, slam.backend, N_FRAMES, frame_callback=_cb)
 else:
     for idx in range(N_FRAMES):
         t1 = time.time()
@@ -107,9 +115,10 @@ if os.environ.get("FRESH_FPS") == "1":
     slam2 = SLAM(cfg, save_dir=None, dataset=slam.dataset)
     t0 = time.time()
     if ASYNC:
-        from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
-            run_pipelined
-        run_pipelined(slam2.frontend, slam2.backend, N_FRAMES)
+        run_pipelined(slam2.frontend, slam2.backend, N_FRAMES,
+                      frame_callback=lambda i, _t0=t0: print(
+                          f"steady frame {i}: t={time.time()-_t0:7.1f}s",
+                          flush=True))
     else:
         for idx in range(N_FRAMES):
             slam2.frontend.process_frame(idx)
