@@ -302,8 +302,7 @@ def main():
     # observed pairs x1.5 headroom, 128k quanta, config cap as ceiling)
     if (tracker == "pyr" and npairs > 0
             and os.environ.get("BENCH_ADAPT", "1") == "1"):
-        q = 1 << 17
-        want = min(max(-(-npairs * 3 // 2 // q) * q, q), PAIR_CAP)
+        want = tracking.pair_capacity_bucket(npairs, PAIR_CAP)
         if want != cap_eff[0]:
             cap_eff[0] = want
             errs, iters_tot, t_last, _ = run_sequence(jnp.zeros(3),

@@ -321,7 +321,7 @@ class FrontEnd:
         adaptive = (self.cap_adaptive and self.tracker == "pyr"
                     and not self.use_oracle)
         cap = self._cap_eff if adaptive else self.pair_capacity
-        for _attempt in range(3):
+        while True:   # doubles cap on overflow; <= log2(ceiling) retries
             res = track_fn(
                 self.gm, self.cam,
                 jnp.asarray(R_ws), jnp.asarray(t_ws),
@@ -390,9 +390,8 @@ class FrontEnd:
         elif adaptive:
             # steady-state shrink: quantized observed-pairs bucket with
             # 1.5x headroom, after a 5-frame streak below the current one
-            want = int(packed[17]) * 3 // 2
-            want = -(-max(want, 1) // self._cap_quantum) * self._cap_quantum
-            want = min(max(want, self._cap_quantum), self.pair_capacity)
+            want = tracking.pair_capacity_bucket(
+                int(packed[17]), self.pair_capacity, self._cap_quantum)
             if want < self._cap_eff:
                 self._cap_shrink_streak += 1
                 if self._cap_shrink_streak >= 5:
@@ -405,7 +404,7 @@ class FrontEnd:
         return out, iters
 
     # ------------------------------------------------------------------
-    def polish(self, idx: int, rec: FrameRecord):
+    def polish(self, rec: FrameRecord):
         """Exact analytic-gradient polish of a pose about to be persisted
         as a keyframe (the IRLS-only per-frame tracker's counterpart of
         the reference's always-exact gradient; see tracking.polish_frame).
@@ -590,7 +589,7 @@ class FrontEnd:
             # — pin the exact L1 fixed point before the pose leaves the
             # frontend (see tracking.polish_frame; non-KF frames stay at
             # the IRLS fixed point, measured equal on converged maps)
-            self.polish(idx, rec)
+            self.polish(rec)
             self.current_window, removed = self.add_to_window(
                 idx, cut_ratios, self.current_window)
             if self.monocular and not self.initialized and removed is not None:

@@ -711,6 +711,17 @@ def _gn_level(
         sigma_f
 
 
+def pair_capacity_bucket(num_pairs: int, ceiling: int,
+                         quantum: int = 1 << 17) -> int:
+    """Quantized pair-plan capacity for an observed pair count: 1.5x
+    headroom, rounded up to ``quantum``, clamped to [quantum, ceiling].
+    Shared by the frontend's adaptive ladder and bench.py (which mirrors
+    production sizing)."""
+    want = max(int(num_pairs) * 3 // 2, 1)
+    want = -(-want // quantum) * quantum
+    return min(max(want, quantum), ceiling)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "iters", "pair_capacity", "interpret",
@@ -861,9 +872,13 @@ def track_frame_pyr(
         # Coarse-level plans carry ~s^2 fewer pairs (tile grid shrinks as
         # s^2; the radius floor + pad/s keep it slightly above that), and
         # plan_pairs cost scales with CAPACITY, not occupancy — so size
-        # coarse plans down accordingly. Overflow is surfaced per level.
+        # coarse plans at capacity/(s^2/2): 2x headroom over the pure
+        # s^2 scaling (s=2 keeps the round-2 capacity/2 sizing, which
+        # never overflowed), floored at one quantum but never above the
+        # full-res capacity. Overflow is surfaced per level.
         cap_l = (pair_capacity if s == 1
-                 else max(1 << 17, pair_capacity // (s * s)))
+                 else max(min(pair_capacity, 1 << 17),
+                          pair_capacity // max(s * s // 2, 1)))
         if H_in is not None and curv != "flow":
             # cross-frame curvature reuse: viewpoints move slowly, so the
             # previous frame's per-level normal matrices (and probe
