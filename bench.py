@@ -208,6 +208,7 @@ def main():
         kw["curv"] = "flow"
         kw["level_exact"] = (0, 0, 0)
         kw["plan_pad"] = 4.0
+        kw["pair_capacity_ceiling"] = PAIR_CAP
         if "BENCH_LEVELS" in os.environ:
             kw["levels"] = tuple(
                 int(x) for x in os.environ["BENCH_LEVELS"].split(","))

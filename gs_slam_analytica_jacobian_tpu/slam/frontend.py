@@ -317,6 +317,7 @@ class FrontEnd:
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
+                      pair_capacity_ceiling=self.pair_capacity,
                       H_in=self._H_cache if reuse_H else None)
         adaptive = (self.cap_adaptive and self.tracker == "pyr"
                     and not self.use_oracle)

@@ -780,8 +780,8 @@ def _strip_J(entry):
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
                      "curv", "kernel_bf16", "sigma0",
                      "sigma_decay", "step_cap", "level_exact", "tile16",
-                     "plan_pad", "pair_capacity", "interpret",
-                     "use_oracle"))
+                     "plan_pad", "pair_capacity", "pair_capacity_ceiling",
+                     "interpret", "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -812,6 +812,7 @@ def track_frame_pyr(
     tile16: bool = False,
     plan_pad: float = 8.0,
     H_in=None,
+    pair_capacity_ceiling: int = 0,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -869,16 +870,17 @@ def track_frame_pyr(
             gt_i = _pool_avg(gt_image, s)
             gt_d = _stride_center(gt_depth, s)
             gm_l = _pool_max(grad_mask, s)
-        # Coarse-level plans carry ~s^2 fewer pairs (tile grid shrinks as
-        # s^2; the radius floor + pad/s keep it slightly above that), and
-        # plan_pairs cost scales with CAPACITY, not occupancy — so size
-        # coarse plans at capacity/(s^2/2): 2x headroom over the pure
-        # s^2 scaling (s=2 keeps the round-2 capacity/2 sizing, which
-        # never overflowed), floored at one quantum but never above the
-        # full-res capacity. Overflow is surfaced per level.
+        # Coarse-level plans size off the CONFIG ceiling, not the
+        # adaptive fine bucket: coarse pair counts track the VISIBLE
+        # GAUSSIAN count (every rect hits the one-tile floor at deep
+        # levels), which does not shrink when the fine-level occupancy
+        # does — tying them to the fine bucket measured ladder thrash
+        # (shrink -> coarse overflow -> re-track at a fresh bucket ->
+        # minutes of recompile, r3_async48 log). ceiling/2 never
+        # overflowed in r2/r3; overflow is still surfaced per level.
+        ceil_cap = max(pair_capacity, pair_capacity_ceiling)
         cap_l = (pair_capacity if s == 1
-                 else max(min(pair_capacity, 1 << 17),
-                          pair_capacity // max(s * s // 2, 1)))
+                 else max(min(ceil_cap, 1 << 17), ceil_cap // 2))
         if H_in is not None and curv != "flow":
             # cross-frame curvature reuse: viewpoints move slowly, so the
             # previous frame's per-level normal matrices (and probe
