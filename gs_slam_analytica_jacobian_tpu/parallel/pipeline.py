@@ -58,6 +58,14 @@ class BackendLink:
                  frontend_queue: queue.Queue):
         self.backend_queue = backend_queue
         self.frontend_queue = frontend_queue
+        # frontend-priority device scheduling: set while the frontend has
+        # a frame in flight on the chip; the backend defers IDLE
+        # refinement batches (keyframe mapping is never deferred). On one
+        # chip, tracking (~0.15 s) otherwise queues behind multi-second
+        # idle-mapping batches — the reference's two processes share a
+        # GPU at kernel granularity (~50 us slices), which a single
+        # in-order TPU stream does not give us for free.
+        self.want_device = threading.Event()
 
     def send(self, msg):
         self.backend_queue.put(msg)
@@ -93,7 +101,7 @@ class BackendLink:
 
 
 def backend_loop(backend, backend_queue: queue.Queue,
-                 frontend_queue: queue.Queue):
+                 frontend_queue: queue.Queue, want_device=None):
     """The backend thread's message loop (reference BackEnd.run,
     slam_backend.py:367-482): idle single-iteration mapping with periodic
     syncs, plus message handling."""
@@ -109,6 +117,11 @@ def backend_loop(backend, backend_queue: queue.Queue,
         if backend_queue.empty():
             if paused or len(backend.current_window) == 0:
                 time.sleep(0.01)
+                continue
+            if want_device is not None and want_device.is_set():
+                # frontend priority: a tracked frame is in flight — defer
+                # idle refinement (keyframe messages still preempt below)
+                time.sleep(0.005)
                 continue
             # idle refinement (reference slam_backend.py:369-383 runs ONE
             # iteration per loop — its binning is free). Here a plan
@@ -190,8 +203,11 @@ def run_pipelined(frontend, backend, n_frames: int,
                 backend_queue.put([tag])
                 Log(f"{tag}d by control channel", tag="Frontend")
 
+    priority = getattr(backend, "frontend_priority", True)
     thread = threading.Thread(
-        target=backend_loop, args=(backend, backend_queue, frontend_queue),
+        target=backend_loop,
+        args=(backend, backend_queue, frontend_queue,
+              link.want_device if priority else None),
         daemon=True)
     thread.start()
     try:

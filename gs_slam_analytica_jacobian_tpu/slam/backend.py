@@ -60,6 +60,10 @@ class BackEnd:
         self.prune_mode = T.get("prune_mode", "slam")
         # async idle-refinement batch size (parallel.pipeline.backend_loop)
         self.idle_batch = int(T.get("idle_batch", 4))
+        # async device scheduling: defer idle refinement while the
+        # frontend has a frame in flight (parallel.pipeline); set false
+        # to restore free-running idle mapping
+        self.frontend_priority = bool(T.get("frontend_priority", True))
         self.kf_capacity = T.get("kf_capacity", 128)
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
         self.tile16 = bool(T.get("tile16", False))

@@ -559,6 +559,19 @@ class FrontEnd:
         self.initialized = self.initialized or (
             len(self.current_window) == self.window_size)
 
+        # frontend device priority (async): hold off backend idle
+        # refinement while this frame's device work (tracking, overlap
+        # stats, polish) is in flight — see BackendLink.want_device
+        if self.link is not None:
+            self.link.want_device.set()
+        try:
+            return self._process_frame_tracked(idx, rec, tic)
+        finally:
+            if self.link is not None:
+                self.link.want_device.clear()
+
+    def _process_frame_tracked(self, idx, rec, tic):
+        import time as _time
         out, iters = self.track(idx, rec)
 
         if self.requested_keyframe > 0:
@@ -614,8 +627,12 @@ class FrontEnd:
                     dict(frame=idx, n_kf=len(self.kf_indices), ate=ate))
             # 3 FPS throttle after keyframe creation so the async backend
             # can catch up (reference slam_frontend.py:477-480); a no-op
-            # in single-thread mode where the backend ran inline
+            # in single-thread mode where the backend ran inline. Release
+            # the device-priority hold first so the backend can use the
+            # throttle window.
             if not self.single_thread:
+                if self.link is not None:
+                    self.link.want_device.clear()
                 sleep_left = 1.0 / 3.0 - (_time.time() - tic)
                 if sleep_left > 0:
                     _time.sleep(sleep_left)

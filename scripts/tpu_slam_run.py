@@ -81,7 +81,10 @@ if ASYNC:
     from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
         run_pipelined
 
+    frame_ts = []
+
     def _cb(i, _t0=t0):
+        frame_ts.append(time.time())
         rec = slam.frontend.frames.get(i)
         terr = (float(np.linalg.norm(rec.t - rec.t_gt))
                 if rec is not None else float("nan"))
@@ -100,6 +103,12 @@ else:
               f"terr={terr:.4f}", flush=True)
 wall = time.time() - t0
 results = dict(fps=N_FRAMES / wall, n_frames=N_FRAMES, wall_time=wall)
+if ASYNC and len(frame_ts) > 1:
+    # frame-loop rate, excluding map-init compile and the artifact-
+    # generation tail (the reference's slam.py:113-119 accounting also
+    # stops its clock when the frame loop exhausts)
+    results["fps_frame_loop"] = (len(frame_ts) - 1) / (
+        frame_ts[-1] - frame_ts[0])
 results["ate"] = eval_utils.eval_ate(
     slam.frontend.frames, slam.frontend.kf_indices, save_dir, final=True,
     monocular=False)
