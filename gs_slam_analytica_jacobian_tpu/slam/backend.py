@@ -409,6 +409,8 @@ class BackEnd:
 
     def handle_keyframe(self, frame_idx, window_uids):
         """reference slam_backend.py:409-475."""
+        import time as _time
+        _t0 = _time.time()
         self.current_window = list(window_uids)
         iter_per_kf = self.mapping_itr_num if self.single_thread else 10
         frames_to_optimize = self.pose_window
@@ -425,6 +427,9 @@ class BackEnd:
                  frames_to_optimize=frames_to_optimize)
         self.map(self.current_window, prune=True,
                  frames_to_optimize=frames_to_optimize)
+        Log(f"keyframe {frame_idx} mapped: {iter_per_kf} iters, "
+            f"window {len(self.current_window)}, "
+            f"{_time.time() - _t0:.1f}s", tag="Backend")
 
     def color_refinement(self, iteration_total: int = 26000,
                          batch: int = 256):

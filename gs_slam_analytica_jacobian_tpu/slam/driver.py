@@ -127,6 +127,7 @@ class SLAM:
 
         summary = dict(
             fps=results.get("fps"),
+            fps_frame_loop=results.get("fps_frame_loop"),
             wall_time_s=results.get("wall_time"),
             n_frames=results.get("n_frames"),
             final_ate_m=results.get("ate"),
