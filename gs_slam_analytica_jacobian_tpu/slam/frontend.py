@@ -161,6 +161,7 @@ class FrontEnd:
         self.save_trj_kf_intv = res.get("save_trj_kf_intv", 10)
 
         self.initialized = not self.monocular
+        self._prefetch = None      # (idx, thread, result) lookahead slot
         self.frames: Dict[int, FrameRecord] = {}
         self.kf_indices: List[int] = []
         self.ate_log: List[dict] = []   # interim eval series (run summary)
@@ -172,8 +173,45 @@ class FrontEnd:
         self._rng = np.random.default_rng(config.get("seed", 0))
 
     # ------------------------------------------------------------------
+    def _start_prefetch(self, idx: int):
+        """One-frame lookahead on a host thread: frame IO (PNG/EXR decode
+        for real datasets, the raytrace for the synthetic one — ~1.5 s at
+        full res) otherwise sits on the critical path of every frame. The
+        reference loads synchronously too (camera_utils.py:66-84), but
+        its decode is cheap next to its tracking; here tracking is
+        ~0.15 s and the load would dominate."""
+        import threading
+        if not getattr(self.dataset, "prefetchable", False):
+            return
+        try:
+            n = len(self.dataset)
+        except TypeError:
+            n = None
+        if n is not None and idx >= n:
+            return
+        res = {}
+
+        def go():
+            try:
+                res[idx] = self.dataset[idx]
+            except Exception as e:       # surfaced on consume
+                res["err"] = e
+
+        th = threading.Thread(target=go, daemon=True)
+        th.start()
+        self._prefetch = (idx, th, res)
+
     def load_frame(self, idx: int) -> FrameRecord:
-        image, depth, pose = self.dataset[idx]
+        data = None
+        if self._prefetch is not None and self._prefetch[0] == idx:
+            _, th, res = self._prefetch
+            th.join()
+            data = res.get(idx)
+            self._prefetch = None
+        if data is None:
+            data = self.dataset[idx]
+        self._start_prefetch(idx + 1)
+        image, depth, pose = data
         pose = np.asarray(pose)
         # ONE h2d upload per tensor; gray + edge mask derive on device
         # (the former mask round trip alone was ~7 MB/frame of host-link

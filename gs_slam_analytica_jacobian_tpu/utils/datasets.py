@@ -159,6 +159,11 @@ class EuRoCParser:
 
 
 class BaseDataset:
+    # frame IO may be loaded ahead on a host thread (frontend lookahead);
+    # live-capture datasets override: prefetching would consume sensor
+    # frames ahead of the tracking clock
+    prefetchable = True
+
     def __init__(self, config: dict):
         self.config = config
         self.num_imgs = 999999
@@ -452,6 +457,8 @@ class SyntheticDataset(MonocularDataset):
 
 
 class RealsenseDataset(BaseDataset):
+    prefetchable = False
+
     """Live Intel RealSense capture (reference dataset.py:429-519).
 
     Streams 1280x720 color (+ aligned depth when sensor_type == 'depth'),
