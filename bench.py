@@ -240,12 +240,14 @@ def main():
     reuse_H = (tracker == "pyr"
                and os.environ.get("BENCH_REUSE_H", "1") == "1")
 
-    cap_eff = [PAIR_CAP]   # adaptive bucket (see frontend.track)
+    cap_eff = [PAIR_CAP]   # adaptive fine bucket (see frontend.track)
+    lvl_caps = [None]      # per-level adaptive buckets (tuple) or None
 
     def track_one(k, R_start, t_start, H_in):
         kw_k = dict(kw)
         if tracker == "pyr":
             kw_k["H_in"] = H_in
+            kw_k["level_caps"] = lvl_caps[0]
         return track_fn(
             gm, cam, R_start, t_start,
             gts[k][0], gts[k][1], gts[k][2], bg,
@@ -275,7 +277,7 @@ def main():
         t_est = jnp.asarray(poses[0][:3, 3]) + eps
         R_pp = t_pp = None
         H_carry = None
-        errs, iters_tot, npairs = [], 0, 0
+        errs, iters_tot, npairs = [], 0, None
         for k in range(1, F):
             if const_vel and R_pp is not None:
                 R_ws, t_ws = cv_start(R_est, t_est, R_pp, t_pp)
@@ -291,21 +293,26 @@ def main():
                 iters_tot += int(res[4])
                 errs.append(float(jnp.linalg.norm(
                     t_est - jnp.asarray(poses[k][:3, 3]))))
-                if tracker == "pyr" and len(res) > 9:
-                    npairs = max(npairs, int(res[9]))
+                if tracker == "pyr" and len(res) > 10:
+                    lp = np.asarray(res[10], np.int64)
+                    npairs = lp if npairs is None else np.maximum(npairs, lp)
         return errs, iters_tot, t_est, npairs
 
     # warmup / compile (both H_in variants) + accuracy collection
     errs, iters_tot, t_last, npairs = run_sequence(jnp.zeros(3),
                                                    collect=True)
 
-    # adaptive pair-capacity bucket (the frontend's steady-state rule:
-    # observed pairs x1.5 headroom, 128k quanta, config cap as ceiling)
-    if (tracker == "pyr" and npairs > 0
+    # adaptive per-level pair-capacity buckets (the frontend's
+    # steady-state rule: observed pairs x1.5 headroom, 128k quanta,
+    # config cap as ceiling, independently per pyramid level)
+    if (tracker == "pyr" and npairs is not None
             and os.environ.get("BENCH_ADAPT", "1") == "1"):
-        want = tracking.pair_capacity_bucket(npairs, PAIR_CAP)
-        if want != cap_eff[0]:
-            cap_eff[0] = want
+        caps = tuple(
+            tracking.pair_capacity_bucket(int(p), PAIR_CAP) if p > 0
+            else PAIR_CAP for p in npairs)
+        if caps != lvl_caps[0]:
+            lvl_caps[0] = caps
+            cap_eff[0] = caps[-1]
             errs, iters_tot, t_last, _ = run_sequence(jnp.zeros(3),
                                                       collect=True)
 

@@ -116,8 +116,8 @@ class FrontEnd:
         # the ceiling; adapt_pair_capacity=false pins it.
         self.cap_adaptive = bool(T.get("adapt_pair_capacity", True))
         self._cap_quantum = 1 << 17
-        self._cap_eff = self.pair_capacity
-        self._cap_shrink_streak = 0
+        self._lvl_caps = None       # per-pyramid-level adaptive buckets
+        self._lvl_streaks = None
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
         # "pyr" = coarse-to-fine IRLS Gauss-Newton (default); "gn" =
         # single-level GN; "adam" = the reference's Adam loop
@@ -359,8 +359,21 @@ class FrontEnd:
                       H_in=self._H_cache if reuse_H else None)
         adaptive = (self.cap_adaptive and self.tracker == "pyr"
                     and not self.use_oracle)
-        cap = self._cap_eff if adaptive else self.pair_capacity
-        while True:   # doubles cap on overflow; <= log2(ceiling) retries
+        n_lvl = len(kw["levels"]) if "levels" in kw else 0
+        if adaptive:
+            ceil = self.pair_capacity
+            if (self._lvl_caps is None
+                    or len(self._lvl_caps) != n_lvl):
+                self._lvl_caps = [
+                    ceil if s == 1
+                    else max(min(ceil, 1 << 17), ceil // 2)
+                    for s in kw["levels"]]
+                self._lvl_streaks = [0] * n_lvl
+            kw["level_caps"] = tuple(self._lvl_caps)
+            cap = self._lvl_caps[-1]
+        else:
+            cap = self.pair_capacity
+        while True:   # doubles caps on overflow; <= log2(ceiling) retries
             res = track_fn(
                 self.gm, self.cam,
                 jnp.asarray(R_ws), jnp.asarray(t_ws),
@@ -386,24 +399,35 @@ class FrontEnd:
                                 ovf, npairs])]
             if has_lvl:
                 parts.append(res[8].astype(jnp.float32))
+                parts.append(res[10].astype(jnp.float32))
             packed = np.asarray(jnp.concatenate(parts))
             ov = int(packed[16])
+            lvl_ov = None
             if has_lvl:
-                lvl_ov = packed[18:].astype(np.int64)
+                lvl_ov = packed[18:18 + n_lvl].astype(np.int64)
                 if lvl_ov.any():
                     Log(f"pyramid-level pair overflow {lvl_ov.tolist()} "
-                        f"at levels {kw['levels']} (capacity {cap})",
-                        tag="Frontend")
+                        f"at levels {kw['levels']} "
+                        f"(caps {kw.get('level_caps')})", tag="Frontend")
                 ov = max(ov, int(lvl_ov.max()))
-            if ov > 0 and adaptive and cap < self.pair_capacity:
+            if ov > 0 and adaptive:
                 # an overflowing plan dropped pairs — the gradient was
-                # corrupted; grow the bucket and re-track this frame
-                cap = min(cap * 2, self.pair_capacity)
-                self._cap_eff = cap
-                self._cap_shrink_streak = 0
-                Log(f"pair overflow: re-tracking at capacity {cap}",
-                    tag="Frontend")
-                continue
+                # corrupted; grow the affected level buckets and re-track
+                grew = False
+                for li in range(n_lvl):
+                    over_here = (lvl_ov is not None and lvl_ov[li] > 0) or (
+                        li == n_lvl - 1 and int(packed[16]) > 0)
+                    if over_here and self._lvl_caps[li] < self.pair_capacity:
+                        self._lvl_caps[li] = min(
+                            self._lvl_caps[li] * 2, self.pair_capacity)
+                        self._lvl_streaks[li] = 0
+                        grew = True
+                if grew:
+                    kw["level_caps"] = tuple(self._lvl_caps)
+                    cap = self._lvl_caps[-1]
+                    Log(f"pair overflow: re-tracking at level caps "
+                        f"{self._lvl_caps}", tag="Frontend")
+                    continue
             break
         iters = int(packed[14])
         if self.tracker == "pyr":
@@ -426,20 +450,30 @@ class FrontEnd:
             Log(f"render pair overflow: {ov} pairs dropped "
                 f"(pair_capacity={cap}) — raise "
                 f"Training.pair_capacity", tag="Frontend")
-        elif adaptive:
-            # steady-state shrink: quantized observed-pairs bucket with
-            # 1.5x headroom, after a 5-frame streak below the current one
-            want = tracking.pair_capacity_bucket(
-                int(packed[17]), self.pair_capacity, self._cap_quantum)
-            if want < self._cap_eff:
-                self._cap_shrink_streak += 1
-                if self._cap_shrink_streak >= 5:
-                    Log(f"shrinking tracking pair capacity "
-                        f"{self._cap_eff} -> {want}", tag="Frontend")
-                    self._cap_eff = want
-                    self._cap_shrink_streak = 0
-            else:
-                self._cap_shrink_streak = 0
+        elif adaptive and has_lvl:
+            # steady-state shrink, independently per pyramid level
+            # (coarse counts track the visible-gaussian count, fine the
+            # pixel occupancy): quantized observed-pairs bucket with 1.5x
+            # headroom, after a 5-frame streak below the current one
+            lvl_pairs = packed[18 + n_lvl:18 + 2 * n_lvl].astype(np.int64)
+            changed = False
+            for li in range(n_lvl):
+                if lvl_pairs[li] <= 0:    # level skipped this frame
+                    continue
+                want = tracking.pair_capacity_bucket(
+                    int(lvl_pairs[li]), self.pair_capacity,
+                    self._cap_quantum)
+                if want < self._lvl_caps[li]:
+                    self._lvl_streaks[li] += 1
+                    if self._lvl_streaks[li] >= 5:
+                        self._lvl_caps[li] = want
+                        self._lvl_streaks[li] = 0
+                        changed = True
+                else:
+                    self._lvl_streaks[li] = 0
+            if changed:
+                Log(f"tracking level caps -> {self._lvl_caps} "
+                    f"(levels {kw['levels']})", tag="Frontend")
         return out, iters
 
     # ------------------------------------------------------------------
@@ -460,8 +494,9 @@ class FrontEnd:
             rec.gt_image, gt_depth, rec.grad_mask, self.bg,
             self.rgb_boundary_threshold, alpha=self.alpha,
             monocular=self.monocular,
-            pair_capacity=(self._cap_eff if self.cap_adaptive
-                           and not self.use_oracle else self.pair_capacity),
+            pair_capacity=(self._lvl_caps[-1]
+                           if self.cap_adaptive and not self.use_oracle
+                           and self._lvl_caps else self.pair_capacity),
             interpret=self.interpret, use_oracle=self.use_oracle,
             tile16=self.tile16 and not self.use_oracle)
         packed = np.asarray(jnp.concatenate(

@@ -781,7 +781,7 @@ def _strip_J(entry):
                      "curv", "kernel_bf16", "sigma0",
                      "sigma_decay", "step_cap", "level_exact", "tile16",
                      "plan_pad", "pair_capacity", "pair_capacity_ceiling",
-                     "interpret", "use_oracle"))
+                     "level_caps", "interpret", "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -813,6 +813,7 @@ def track_frame_pyr(
     plan_pad: float = 8.0,
     H_in=None,
     pair_capacity_ceiling: int = 0,
+    level_caps: tuple = None,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -854,12 +855,17 @@ def track_frame_pyr(
     # capacity and a silent overflow there corrupts the IRLS gradient
     # long before the (checked) full-res render overflows — surface it
     lvl_overflow = []
+    # per-level emitted pair counts: feeds the frontend's per-level
+    # adaptive capacity ladder (coarse counts track the visible-gaussian
+    # count, fine counts the pixel occupancy — independent quantities)
+    lvl_pairs = []
 
     for li, (s, iters_l) in enumerate(zip(levels, level_iters)):
         if iters_l <= 0:
             H_out.append((jnp.eye(8), None, None) if H_in is None
                          else H_in[li])
             lvl_overflow.append(jnp.zeros((), jnp.int32))
+            lvl_pairs.append(jnp.zeros((), jnp.int32))
             continue
         exact_l = min(int(level_exact[li]), iters_l)
         need_J = exact_l < iters_l and curv == "fd"
@@ -870,17 +876,17 @@ def track_frame_pyr(
             gt_i = _pool_avg(gt_image, s)
             gt_d = _stride_center(gt_depth, s)
             gm_l = _pool_max(grad_mask, s)
-        # Coarse-level plans size off the CONFIG ceiling, not the
-        # adaptive fine bucket: coarse pair counts track the VISIBLE
-        # GAUSSIAN count (every rect hits the one-tile floor at deep
-        # levels), which does not shrink when the fine-level occupancy
-        # does — tying them to the fine bucket measured ladder thrash
-        # (shrink -> coarse overflow -> re-track at a fresh bucket ->
-        # minutes of recompile, r3_async48 log). ceiling/2 never
-        # overflowed in r2/r3; overflow is still surfaced per level.
-        ceil_cap = max(pair_capacity, pair_capacity_ceiling)
-        cap_l = (pair_capacity if s == 1
-                 else max(min(ceil_cap, 1 << 17), ceil_cap // 2))
+        # Per-level plan capacity: explicit ``level_caps`` (the frontend's
+        # per-level adaptive ladder — coarse pair counts track the
+        # VISIBLE GAUSSIAN count while fine counts track pixel occupancy,
+        # so each level sizes off its own observed emission). Fallback:
+        # ceiling/2 for coarse levels, which never overflowed in r2/r3.
+        if level_caps is not None:
+            cap_l = level_caps[li]
+        else:
+            ceil_cap = max(pair_capacity, pair_capacity_ceiling)
+            cap_l = (pair_capacity if s == 1
+                     else max(min(ceil_cap, 1 << 17), ceil_cap // 2))
         if H_in is not None and curv != "flow":
             # cross-frame curvature reuse: viewpoints move slowly, so the
             # previous frame's per-level normal matrices (and probe
@@ -918,6 +924,8 @@ def track_frame_pyr(
         H_out.append(H_prev)
         lvl_overflow.append(jnp.zeros((), jnp.int32) if plan_l is None
                             else plan_l.overflow)
+        lvl_pairs.append(jnp.zeros((), jnp.int32) if plan_l is None
+                         else plan_l.num_pairs)
         if s == 1:
             plan_s1 = plan_l
 
@@ -931,4 +939,4 @@ def track_frame_pyr(
     num_pairs = (jnp.zeros((), jnp.int32) if plan_s1 is None
                  else plan_s1.num_pairs)
     return (R, t, ea, eb, total_iters, out, med, tuple(H_out),
-            jnp.stack(lvl_overflow), num_pairs)
+            jnp.stack(lvl_overflow), num_pairs, jnp.stack(lvl_pairs))

@@ -51,14 +51,17 @@ jax.block_until_ready(gt_img)
 
 
 def timeit(label, fn, carry0, reps=10):
-    """fn(carry) -> (result_scalar_chain, printable). Chained via carry."""
+    """fn(carry) -> scalar; reps chained through the result AND a
+    distinct per-rep constant — consecutive dispatches must differ in
+    VALUE, not just buffer identity, or the tunnel dedups them (measured:
+    a full tracking call "took" 0.86 ms when chained with a constant
+    perturbation)."""
     c = carry0
     r = fn(c)  # warm/compile
     jax.block_until_ready(r)
     t0 = time.time()
-    c = carry0 + 1e-30
-    for _ in range(reps):
-        r = fn(c)
+    for k in range(reps):
+        r = fn(c + (k + 1) * 1e-27)
         c = r * 1e-30
     jax.block_until_ready(r)
     dt = (time.time() - t0) / reps * 1000
