@@ -140,6 +140,15 @@ class FrontEnd:
         # Jacobian (relinearized every step, zero probe renders) — beats
         # frozen FD probes on every r2 scene; "fd" remains an option
         self.pyr_curv = T.get("pyr_curv", "flow")
+        # adaptive level schedule: drop s>=4 coarse levels while the
+        # warm start keeps predicting within ~2 px of image flow
+        # (measured: 126 vs 165 ms/frame at equal accuracy on gentle
+        # motion; the coarse basin only pays off at motion spikes). A
+        # rail-stopped reduced-schedule frame re-tracks with the full
+        # pyramid, so the worst case costs one extra track.
+        self.pyr_adaptive_levels = bool(T.get("pyr_adaptive_levels", True))
+        self._easy_streak = 0
+        self._easy_flow_px = float(T.get("pyr_easy_flow_px", 2.0))
         self.pyr_probes = T.get("pyr_probes", "coarse")
         # cross-frame curvature reuse: re-run the FD probes every N frames
         # (0 disables reuse); invalidated when tracking hits max iters
@@ -346,6 +355,19 @@ class FrontEnd:
             reuse_H = (self.pyr_reprobe > 0 and self._H_cache is not None
                        and self._H_age < self.pyr_reprobe
                        and len(self._H_cache) == len(levels))
+            # adaptive schedule: after 3 consecutive easy frames, zero
+            # out the s>=4 coarse iterations (level count — and so the
+            # H-cache structure — is unchanged; a zero-iteration level
+            # is skipped inside the jitted tracker)
+            full_iters = tuple(iters)
+            reduced = (self.pyr_adaptive_levels
+                       and self._easy_streak >= 3
+                       and len(levels) > 1
+                       and any(s >= 4 and it > 0
+                               for s, it in zip(levels, iters)))
+            if reduced:
+                iters = [0 if s >= 4 else it
+                         for s, it in zip(levels, iters)]
             kw = dict(levels=tuple(levels), level_iters=tuple(iters),
                       level_exact=tuple(exacts),
                       tile16=self.tile16 and not self.use_oracle,
@@ -428,6 +450,17 @@ class FrontEnd:
                     Log(f"pair overflow: re-tracking at level caps "
                         f"{self._lvl_caps}", tag="Frontend")
                     continue
+            if (self.tracker == "pyr" and reduced
+                    and int(packed[14]) >= sum(kw["level_iters"])):
+                # the reduced schedule rail-stopped — the warm start was
+                # worse than its streak suggested; redo with the full
+                # coarse-to-fine pyramid
+                reduced = False
+                self._easy_streak = 0
+                kw["level_iters"] = full_iters
+                Log("reduced-schedule rail stop: re-tracking with full "
+                    "pyramid", tag="Frontend")
+                continue
             break
         iters = int(packed[14])
         if self.tracker == "pyr":
@@ -446,6 +479,34 @@ class FrontEnd:
         rec.t = packed[9:12].astype(np.float32)
         rec.exposure_a, rec.exposure_b = float(packed[12]), float(packed[13])
         self.median_depth = float(packed[15])
+        if self.tracker == "pyr" and self.pyr_adaptive_levels:
+            # hardness signals for the adaptive schedule: (a) the
+            # image-flow magnitude of the warm-start CORRECTION this
+            # frame needed, and (b) the raw inter-frame MOTION flow —
+            # a tracker stuck in a local valley shows a small correction
+            # without rail-stopping (measured at 4x bench motion), so
+            # large motion alone forces the full pyramid
+
+            def _flow(R_a, t_a, R_b, t_b):
+                dt_ = float(np.linalg.norm(np.asarray(t_a)
+                                           - np.asarray(t_b)))
+                dR = np.asarray(R_a) @ np.asarray(R_b).T
+                ang = float(np.arccos(np.clip(
+                    (np.trace(dR) - 1) / 2, -1, 1)))
+                return (self.cam.fx * dt_ / max(self.median_depth, 1e-3)
+                        + self.cam.fx * ang)
+
+            corr_px = _flow(rec.R, rec.t, R_ws, t_ws)
+            prev = self.frames.get(idx - 1)
+            motion_px = (0.0 if prev is None
+                         else _flow(rec.R, rec.t, prev.R, prev.t))
+            railed = iters >= sum(kw["level_iters"])
+            if (corr_px < self._easy_flow_px
+                    and motion_px < 4.0 * self._easy_flow_px
+                    and not railed):
+                self._easy_streak += 1
+            else:
+                self._easy_streak = 0
         if ov > 0:
             Log(f"render pair overflow: {ov} pairs dropped "
                 f"(pair_capacity={cap}) — raise "
