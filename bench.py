@@ -340,6 +340,8 @@ def main():
         it = kw.get("level_iters", (5, 3, 12))
         kw["level_iters"] = tuple(
             0 if s >= 4 else i for s, i in zip(lv, it))
+        if "BENCH_PAD" not in os.environ:
+            kw["plan_pad"] = min(kw["plan_pad"], 2.0)
 
     if tracker == "pyr":
         # re-warm (and re-collect accuracy) at the adapted configuration

@@ -368,12 +368,16 @@ class FrontEnd:
             if reduced:
                 iters = [0 if s >= 4 else it
                          for s, it in zip(levels, iters)]
+            pad_cfg = (float(T_pad) if (
+                T_pad := self.config["Training"].get("pyr_pad"))
+                is not None else 4.0)
             kw = dict(levels=tuple(levels), level_iters=tuple(iters),
                       level_exact=tuple(exacts),
                       tile16=self.tile16 and not self.use_oracle,
-                      plan_pad=float(T_pad) if (
-                          T_pad := self.config["Training"].get(
-                              "pyr_pad")) is not None else 4.0,
+                      # intra-frame pose drift is bounded by the easy-
+                      # streak condition (~2 px) on reduced frames, so
+                      # the plan pad can shrink with the schedule
+                      plan_pad=min(pad_cfg, 2.0) if reduced else pad_cfg,
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
@@ -458,6 +462,7 @@ class FrontEnd:
                 reduced = False
                 self._easy_streak = 0
                 kw["level_iters"] = full_iters
+                kw["plan_pad"] = pad_cfg
                 Log("reduced-schedule rail stop: re-tracking with full "
                     "pyramid", tag="Frontend")
                 continue
