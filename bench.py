@@ -327,6 +327,9 @@ def main():
         if caps != lvl_caps[0]:
             lvl_caps[0] = caps
             cap_eff[0] = caps[-1]
+            adapted = True
+
+    adapted = False
 
     # adaptive level schedule (the frontend's steady-state rule: drop
     # s>=4 coarse iterations after a 3-frame easy streak — warm-start
@@ -342,8 +345,9 @@ def main():
             0 if s >= 4 else i for s, i in zip(lv, it))
         if "BENCH_PAD" not in os.environ:
             kw["plan_pad"] = min(kw["plan_pad"], 2.0)
+        adapted = True
 
-    if tracker == "pyr":
+    if tracker == "pyr" and adapted:
         # re-warm (and re-collect accuracy) at the adapted configuration
         errs, iters_tot, t_last, _, _ = run_sequence(jnp.zeros(3),
                                                      collect=True)
@@ -372,6 +376,8 @@ def main():
             "pair_capacity_ceiling": PAIR_CAP,
             "gt_render_overflow": overflow,
             "tracker": tracker,
+            "level_iters": list(kw.get("level_iters", ())),
+            "level_caps": list(lvl_caps[0] or ()),
             "reuse_H": reuse_H,
             "warm_start": "const_vel" if const_vel else "prev",
             "pose_err_mean_m": round(float(np.mean(errs)), 6),

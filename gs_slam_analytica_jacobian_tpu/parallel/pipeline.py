@@ -223,13 +223,16 @@ def run_pipelined(frontend, backend, n_frames: int,
                 frame_callback(idx)
         link.wait_all_keyframes(frontend)
     finally:
+        import sys
         backend_queue.put(["stop"])
         # a backend mid-batch can legitimately take minutes (a fresh
         # mapping_steps variant compiles 1-3 min through the axon
         # tunnel); abandoning the thread leaves it contending with
-        # whatever runs next on the device, so wait it out
-        thread.join(timeout=900)
+        # whatever runs next on the device, so wait it out on a clean
+        # exit — but don't sit on a propagating exception for 15 min
+        wait_s = 60 if sys.exc_info()[0] is not None else 900
+        thread.join(timeout=wait_s)
         if thread.is_alive():
-            Log("backend thread still alive after 900s stop wait",
+            Log(f"backend thread still alive after {wait_s}s stop wait",
                 tag="Pipeline")
         frontend.link = None

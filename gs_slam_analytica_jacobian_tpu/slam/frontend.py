@@ -216,6 +216,9 @@ class FrontEnd:
             _, th, res = self._prefetch
             th.join()
             data = res.get(idx)
+            if data is None and "err" in res:
+                Log(f"frame {idx} prefetch failed ({res['err']!r}); "
+                    f"reloading synchronously", tag="Frontend")
             self._prefetch = None
         if data is None:
             data = self.dataset[idx]
@@ -475,7 +478,10 @@ class FrontEnd:
                 # fresh FD probes on the next frame
                 self._H_cache = None
                 self._H_age = 0
-            elif kw["H_in"] is None:
+            elif kw["H_in"] is None and not reduced:
+                # reduced frames carry identity placeholders for their
+                # skipped coarse levels — caching those would hand fd-mode
+                # reuse a unit curvature exactly at the next motion spike
                 self._H_cache = res[7]
                 self._H_age = 0
             else:

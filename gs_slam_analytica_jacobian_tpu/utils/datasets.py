@@ -457,8 +457,6 @@ class SyntheticDataset(MonocularDataset):
 
 
 class RealsenseDataset(BaseDataset):
-    prefetchable = False
-
     """Live Intel RealSense capture (reference dataset.py:429-519).
 
     Streams 1280x720 color (+ aligned depth when sensor_type == 'depth'),
@@ -469,6 +467,8 @@ class RealsenseDataset(BaseDataset):
     ``pipeline_factory`` injects a fake rs-like pipeline for tests; the
     default imports pyrealsense2 (hardware required).
     """
+
+    prefetchable = False   # sensor frames must not be consumed ahead
 
     def __init__(self, config, pipeline_factory=None):
         super().__init__(config)
