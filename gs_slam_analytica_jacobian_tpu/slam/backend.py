@@ -108,11 +108,21 @@ class BackEnd:
         self._py_rng = random.Random(config.get("seed", 0))
         self.bg = jnp.zeros((3,), jnp.float32)
 
+        # window pair-plan cache across mapping_steps batches: plans stay
+        # valid while the window slots and the gaussian SET persist
+        # (pose/xyz drift rides the 6 px radius pad; extend/densify/grow
+        # change the set -> _invalidate_plans). ``plan_reuse_iters`` caps
+        # staleness from accumulated xyz Adam drift (~0.25 px/step worst
+        # case at SLAM lrs; 16 steps stays inside the pad).
+        self._plan_cache = None        # (key, plans, iters_used)
+        self._plan_reuse = int(T.get("plan_reuse_iters", 16))
+
     # ------------------------------------------------------------------
     def reset_state(self):
         """reference BackEnd.reset (slam_backend.py:72-84): drop all
         gaussians and keyframe state."""
         self.iteration_count = 0
+        self._invalidate_plans()
         self.occ_aware_visibility = {}
         self.current_window = []
         self.initialized = not self.monocular
@@ -145,6 +155,13 @@ class BackEnd:
             Log(f"Growing map capacity to {new_cap}", tag="Backend")
             self.gm, self.gm_adam = gmap.grow(self.gm, self.gm_adam, new_cap)
             free = self.gm.capacity - int(self.gm.num_active())
+            self._invalidate_plans()
+
+    def _invalidate_plans(self):
+        """Drop cached window pair-plans: the gaussian SET changed
+        (extend / densify / prune / opacity reset / capacity growth), so
+        a stale plan could miss pairs for new or re-inflated gaussians."""
+        self._plan_cache = None
 
     def add_next_kf(self, frame_idx: int, R, t, exposure_a, exposure_b,
                     gt_image, gt_depth, depth_map, init=False):
@@ -181,6 +198,7 @@ class BackEnd:
         n_new = int(jnp.sum(block.valid))
         self._ensure_capacity(n_new)
         self.gm, self.gm_adam, ov = gmap.extend(self.gm, self.gm_adam, block)
+        self._invalidate_plans()
         if int(ov) > 0:
             Log(f"extend overflow {int(ov)}", tag="Backend")
 
@@ -251,6 +269,19 @@ class BackEnd:
         xyz_lrs = jnp.asarray(
             [self._xyz_lr(self.iteration_count + 1 + i) for i in range(T)],
             jnp.float32)
+        # window pair-plan reuse across batches (same slots, same
+        # gaussian set — see _invalidate_plans); staleness from xyz/pose
+        # drift is capped at plan_reuse_iters accumulated iterations
+        plan_key = (tuple(int(x) for x in
+                          window_idx[0, :self.window_size].tolist()),
+                    tuple(bool(v) for v in np.asarray(valid)),
+                    self.gm.capacity, self.pair_capacity, self.tile16)
+        plans_in = None
+        if (self.mesh is None and not self.use_oracle
+                and self._plan_cache is not None
+                and self._plan_cache[0] == plan_key
+                and self._plan_cache[2] < self._plan_reuse):
+            plans_in = self._plan_cache[1]
         out = mapping.mapping_steps(
             self.gm, self.gm_adam, self.store, window_idx, valid,
             opt_pose, opt_exp, self.pose_adam, self.cam, self.bg,
@@ -262,7 +293,13 @@ class BackEnd:
             initialization=initialization,
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16,
-            all_valid=all_valid, need_n_touched=need_nt)
+            all_valid=all_valid, need_n_touched=need_nt,
+            window_plans_in=plans_in)
+        if out.window_plans is not None:
+            # staleness counts EVERY iteration run since the plans were
+            # built — including the batch that built them
+            used = T if plans_in is None else self._plan_cache[2] + T
+            self._plan_cache = (plan_key, out.window_plans, used)
         self.iteration_count += T
         self.last_sent += T
         self.gm, self.gm_adam = out.gm, out.gm_adam
@@ -333,6 +370,7 @@ class BackEnd:
                 vis_any = jnp.any(out.radii > 0, axis=0)
                 self.gm, self.gm_adam = gmap.reset_opacity_nonvisible(
                     self.gm, self.gm_adam, vis_any)
+                self._invalidate_plans()
 
         # record occ-aware visibility for window frames (device-resident;
         # consumers compute overlap scalars on device)
@@ -348,6 +386,7 @@ class BackEnd:
             self.gm, self.gm_adam, self._split_key(),
             self.densify_grad_threshold, th, extent, size_threshold,
             self.percent_dense)
+        self._invalidate_plans()
         if int(ov) > 0:
             Log(f"densify overflow {int(ov)}", tag="Backend")
         if _NAN_CHECK:
@@ -378,6 +417,7 @@ class BackEnd:
             if to_prune is not None and self.monocular:
                 self.gm, self.gm_adam = gmap.prune(
                     self.gm, self.gm_adam, to_prune)
+                self._invalidate_plans()
             if not self.initialized:
                 self.initialized = True
                 Log("Initialized SLAM", tag="Backend")

@@ -122,6 +122,9 @@ class MapStepOut(NamedTuple):
     loss: jnp.ndarray
     n_touched: jnp.ndarray   # (F, C) int32 (window slots only meaningful)
     radii: jnp.ndarray       # (F, C) f32
+    window_plans: object = None  # stacked window PairPlan (or None) —
+                                 # reusable by the NEXT batch while the
+                                 # window slots and gaussian set persist
 
 
 def _mapping_iter(
@@ -382,6 +385,7 @@ def mapping_steps(
     mesh=None,
     all_valid: bool = False,
     need_n_touched: bool = True,
+    window_plans_in=None,
 ) -> MapStepOut:
     """T map iterations in ONE device program (lax.scan over
     _mapping_iter). The torch reference dispatches hundreds of kernels per
@@ -398,7 +402,14 @@ def mapping_steps(
     # inside the radius pad; the kernel's per-pixel 16px rect test always
     # uses CURRENT means, so stale plans cost only extra dead pairs.
     # Mesh path keeps fresh plans (plans would need per-shard layout).
-    if mesh is None and not use_oracle:
+    # ``window_plans_in``: plans from a previous batch over the SAME
+    # window slots and gaussian set — the backend caches them across
+    # map() calls (idle refinement batches, the post-KF prune pass) and
+    # invalidates on any structural map change (extend/densify/grow);
+    # intra-window pose/xyz drift is covered by the radius pad.
+    if window_plans_in is not None:
+        window_plans = window_plans_in
+    elif mesh is None and not use_oracle:
         from ..ops import gaussian_math as gmath
         from ..ops.renderer_tiled import make_plan
 
@@ -467,7 +478,8 @@ def mapping_steps(
             use_oracle=use_oracle, tile16=tile16, all_valid=all_valid)
     return MapStepOut(gm=gm_f, gm_adam=adam_f, store=store_f,
                       pose_adam=pose_f, loss=losses_t[-1],
-                      n_touched=nt_f, radii=r_f)
+                      n_touched=nt_f, radii=r_f,
+                      window_plans=window_plans)
 
 
 @functools.partial(
