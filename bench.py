@@ -232,6 +232,10 @@ def main():
             kw["sigma0"] = float(os.environ["BENCH_SIGMA0"])
         if "BENCH_SIGMA_DECAY" in os.environ:
             kw["sigma_decay"] = float(os.environ["BENCH_SIGMA_DECAY"])
+        if "BENCH_SUBSET" in os.environ:
+            # per-level IRLS tile-subset fractions, e.g. "1,1,0.5"
+            kw["level_subset"] = tuple(
+                float(x) for x in os.environ["BENCH_SUBSET"].split(","))
         # keep level_exact aligned with a custom level count (zip in
         # track_frame_pyr stops at the shortest sequence)
         n_lv = len(kw.get("levels", (4, 2, 1)))

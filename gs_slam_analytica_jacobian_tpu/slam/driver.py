@@ -143,6 +143,26 @@ class SLAM:
             renderer=("oracle" if self.backend.use_oracle else
                       ("tiled16" if self.backend.tile16 else "tiled32")),
         )
+        flog = self.frontend.frame_log
+        if flog:
+            # frame-loop wall-time decomposition: where each processed
+            # frame's wall went (track includes device-queue wait behind
+            # any in-flight mapping batch; other = keyframing stats pull
+            # + throttle + sync adoption)
+            tot = sum(f["total"] for f in flog)
+            summary["frame_time_breakdown_s"] = dict(
+                n=len(flog),
+                total=round(tot, 2),
+                load=round(sum(f["load"] for f in flog), 2),
+                track=round(sum(f["track"] for f in flog), 2),
+                kf_host=round(sum(f["kf_host"] for f in flog), 2),
+                other=round(tot - sum(
+                    f["load"] + f["track"] + f["kf_host"] for f in flog), 2),
+                track_p50_ms=round(1000 * float(np.median(
+                    [f["track"] for f in flog])), 1),
+                track_max_ms=round(1000 * max(
+                    f["track"] for f in flog), 1),
+            )
         with open(os.path.join(self.save_dir, "run_summary.json"),
                   "w") as f:
             json.dump(summary, f, indent=2)

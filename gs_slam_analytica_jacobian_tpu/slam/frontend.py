@@ -150,6 +150,13 @@ class FrontEnd:
         self._easy_streak = 0
         self._easy_flow_px = float(T.get("pyr_easy_flow_px", 2.0))
         self.pyr_probes = T.get("pyr_probes", "coarse")
+        # per-level IRLS tile-subset fractions (sparse direct alignment:
+        # rank 32x32 tiles by grad-mask mass, track on the top fraction;
+        # exact/polish renders always use every tile). Aligned with
+        # pyr_levels; None disables.
+        ps = T.get("pyr_subset")
+        self.pyr_subset = None if ps is None else tuple(
+            float(x) for x in ps)
         # cross-frame curvature reuse: re-run the FD probes every N frames
         # (0 disables reuse); invalidated when tracking hits max iters
         self.pyr_reprobe = int(T.get("pyr_reprobe", 5))
@@ -174,6 +181,11 @@ class FrontEnd:
         self.frames: Dict[int, FrameRecord] = {}
         self.kf_indices: List[int] = []
         self.ate_log: List[dict] = []   # interim eval series (run summary)
+        # per-frame wall-time decomposition (run-summary telemetry):
+        # load = dataset IO (prefetch-hidden in async), track = tracking
+        # device time incl. any device-queue wait, kf = keyframe host work
+        # (polish, seeding, backend request), total = whole process_frame
+        self.frame_log: List[dict] = []
         self.current_window: List[int] = []
         self.occ_aware_visibility: Dict[int, np.ndarray] = {}
         self.median_depth = 1.0
@@ -335,26 +347,31 @@ class FrontEnd:
         kw = {}
         if self.tracker == "pyr":
             # drop pyramid levels that undershoot one 32x32 tile
-            levels, iters, exacts = [], [], []
+            levels, iters, exacts, subsets = [], [], [], []
             if self.pyr_exact == "auto":
                 pyr_exact = [0] * len(self.pyr_iters)
             elif self.pyr_exact is None:
                 pyr_exact = self.pyr_iters
             else:
                 pyr_exact = self.pyr_exact
-            for s, it, ex in zip(self.pyr_levels, self.pyr_iters,
-                                 pyr_exact):
+            pyr_subset = (self.pyr_subset if self.pyr_subset is not None
+                          else (1.0,) * len(self.pyr_levels))
+            for s, it, ex, sf in zip(self.pyr_levels, self.pyr_iters,
+                                     pyr_exact, pyr_subset):
                 if self.cam.width // s >= 64 and self.cam.height // s >= 64:
                     levels.append(s)
                     iters.append(it)
                     exacts.append(ex)
+                    subsets.append(sf)
             if not levels:
                 levels, iters = [1], [max(self.pyr_iters)]
                 exacts = [0 if self.pyr_exact == "auto" else iters[0]]
+                subsets = [1.0]
             if levels[-1] != 1:
                 levels.append(1)
                 iters.append(2)
                 exacts.append(0 if self.pyr_exact == "auto" else 2)
+                subsets.append(1.0)
             reuse_H = (self.pyr_reprobe > 0 and self._H_cache is not None
                        and self._H_age < self.pyr_reprobe
                        and len(self._H_cache) == len(levels))
@@ -385,6 +402,9 @@ class FrontEnd:
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
                       pair_capacity_ceiling=self.pair_capacity,
+                      level_subset=(tuple(subsets)
+                                    if self.pyr_subset is not None
+                                    else None),
                       H_in=self._H_cache if reuse_H else None)
         adaptive = (self.cap_adaptive and self.tracker == "pyr"
                     and not self.use_oracle)
@@ -695,7 +715,9 @@ class FrontEnd:
         if self.link is not None:
             self.link.drain(self)
 
+        t_load0 = _time.time()
         rec = self.load_frame(idx)
+        self._t_load = _time.time() - t_load0
         if self.reset:
             self.initialize(idx, rec)
             self.current_window = [idx]
@@ -717,12 +739,21 @@ class FrontEnd:
 
     def _process_frame_tracked(self, idx, rec, tic):
         import time as _time
+        t_tr0 = _time.time()
         out, iters = self.track(idx, rec)
+        t_track = _time.time() - t_tr0
+
+        def log_frame(kf, extra=0.0):
+            self.frame_log.append(dict(
+                frame=idx, total=round(_time.time() - tic, 4),
+                load=round(self._t_load, 4), track=round(t_track, 4),
+                kf=kf, kf_host=round(extra, 4)))
 
         if self.requested_keyframe > 0:
             # a keyframe is still being mapped; don't create another
             # (reference slam_frontend.py:407-410)
             self.cleanup(idx)
+            log_frame(False)
             return dict(keyframe=False, iters=iters)
 
         last_kf = self.current_window[0]
@@ -744,6 +775,7 @@ class FrontEnd:
             create_kf = check_time and create_kf
 
         if create_kf:
+            t_kf0 = _time.time()
             # keyframe poses are persisted (seeding, mapping anchor, ATE)
             # — pin the exact L1 fixed point before the pose leaves the
             # frontend (see tracking.polish_frame; non-KF frames stay at
@@ -775,12 +807,15 @@ class FrontEnd:
             # in single-thread mode where the backend ran inline. Release
             # the device-priority hold first so the backend can use the
             # throttle window.
+            t_kf_host = _time.time() - t_kf0
             if not self.single_thread:
                 if self.link is not None:
                     self.link.want_device.clear()
                 sleep_left = 1.0 / 3.0 - (_time.time() - tic)
                 if sleep_left > 0:
                     _time.sleep(sleep_left)
+            log_frame(True, t_kf_host)
         else:
             self.cleanup(idx)
+            log_frame(False)
         return dict(keyframe=create_kf, iters=iters)

@@ -457,6 +457,7 @@ def _gn_level(
     step_cap: float = 0.05,
     exact_iters: int = -1,
     tile16: bool = False,
+    subset_frac: float = 1.0,
 ):
     """One pyramid level of IRLS Gauss-Newton pose refinement.
 
@@ -485,17 +486,44 @@ def _gn_level(
         gm, cam_l.replace(R=R, t=t), pair_capacity=pair_capacity,
         radius_scale=1.1, radius_pad=radius_pad, tile16=tile16))
 
-    def render_at(tau, R_, t_):
+    # Texture-ranked tile subset for the forward-only IRLS phase
+    # (sparse direct alignment, cf. DSO's high-gradient pixel selection):
+    # rank 32x32 tiles by tracked-loss mass (grad_mask, which already
+    # encodes the Scharr edge selection the reference tracks under) and
+    # collapse the pair-plan ranges of the bottom (1-subset_frac) so the
+    # kernel skips them at zero cost. Skipped tiles render as background
+    # with opacity 0, and every term of the tracking loss and the IRLS
+    # weights is opacity- or mask-gated, so they drop out of H and g
+    # without any mask plumbing. The EXACT phase (and the probe renders)
+    # always run the full plan — keyframe poses see every pixel.
+    plan_irls = plan
+    if (subset_frac < 1.0 and plan is not None and not tile16
+            and not use_oracle):
+        from ..ops.pallas.tile_kernel2 import TPX, TPY, grid_dims
+        H_l, W_l = int(gt_image.shape[1]), int(gt_image.shape[2])
+        n_tx, n_ty = grid_dims(W_l, H_l)
+        m = jnp.pad(grad_mask[0], ((0, n_ty * TPY - H_l),
+                                   (0, n_tx * TPX - W_l)))
+        mass = m.reshape(n_ty, TPY, n_tx, TPX).sum(axis=(1, 3)).reshape(-1)
+        k = max(1, int(round(n_tx * n_ty * subset_frac)))
+        kth = jnp.sort(mass)[mass.shape[0] - k]
+        keep = mass >= jnp.maximum(kth, 1e-6)
+        ranges_sub = jnp.where(keep[:, None], plan.ranges,
+                               plan.ranges[:, :1])
+        plan_irls = plan._replace(ranges=ranges_sub)
+
+    def render_at(tau, R_, t_, plan_=None):
         cam = cam_l.replace(R=R_, t=t_)
         pose = PoseState(tau=tau, exposure_a=jnp.zeros(()),
                          exposure_b=jnp.zeros(()))
         return render(gm, cam, pose, bg, pair_capacity=pair_capacity,
                       interpret=interpret, use_oracle=use_oracle,
-                      plan=plan, need_n_touched=False, bf16=bf16,
+                      plan=plan if plan_ is None else plan_,
+                      need_n_touched=False, bf16=bf16,
                       tile16=tile16)
 
-    def loss_fn(tau, exp_a, exp_b, R_, t_):
-        out = render_at(tau, R_, t_)
+    def loss_fn(tau, exp_a, exp_b, R_, t_, plan_=None):
+        out = render_at(tau, R_, t_, plan_)
         image_ab = losses.apply_exposure(out.color, exp_a, exp_b)
         if monocular:
             L = losses.loss_tracking_rgb(
@@ -634,7 +662,7 @@ def _gn_level(
                 g = jnp.concatenate([g_tau, g_a[None], g_b[None]])
                 H_mat, _ = curv_grad(*aux, sigma)
             else:
-                L_P, aux = loss_fn(tau0, ea_, eb_, R_, t_)
+                L_P, aux = loss_fn(tau0, ea_, eb_, R_, t_, plan_irls)
                 H_mat, g = curv_grad(*aux, sigma)
             accept = L_P <= LB
 
@@ -781,7 +809,8 @@ def _strip_J(entry):
                      "curv", "kernel_bf16", "sigma0",
                      "sigma_decay", "step_cap", "level_exact", "tile16",
                      "plan_pad", "pair_capacity", "pair_capacity_ceiling",
-                     "level_caps", "interpret", "use_oracle"))
+                     "level_caps", "level_subset", "interpret",
+                     "use_oracle"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -814,6 +843,7 @@ def track_frame_pyr(
     H_in=None,
     pair_capacity_ceiling: int = 0,
     level_caps: tuple = None,
+    level_subset: tuple = None,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -919,7 +949,9 @@ def track_frame_pyr(
             H_frozen=H_frozen, curv=curv,
             bf16=kernel_bf16, sigma0=sigma0,
             sigma_decay=sigma_decay, sigma_in=sigma_prev,
-            step_cap=step_cap, exact_iters=exact_l, tile16=tile16)
+            step_cap=step_cap, exact_iters=exact_l, tile16=tile16,
+            subset_frac=(1.0 if level_subset is None
+                         else float(level_subset[li])))
         total_iters = total_iters + itr_l
         H_out.append(H_prev)
         lvl_overflow.append(jnp.zeros((), jnp.int32) if plan_l is None
