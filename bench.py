@@ -320,6 +320,8 @@ def main():
     errs, iters_tot, t_last, npairs, easy_flags = run_sequence(
         jnp.zeros(3), collect=True)
 
+    adapted = False
+
     # adaptive per-level pair-capacity buckets (the frontend's
     # steady-state rule: observed pairs x1.5 headroom, 128k quanta,
     # config cap as ceiling, independently per pyramid level)
@@ -332,8 +334,6 @@ def main():
             lvl_caps[0] = caps
             cap_eff[0] = caps[-1]
             adapted = True
-
-    adapted = False
 
     # adaptive level schedule (the frontend's steady-state rule: drop
     # s>=4 coarse iterations after a 3-frame easy streak — warm-start
@@ -356,13 +356,31 @@ def main():
         errs, iters_tot, t_last, _, _ = run_sequence(jnp.zeros(3),
                                                      collect=True)
 
+    # final warm pass over the EXACT timed path (collect=False — the
+    # collect passes above pull per-frame scalars, so they never exercise
+    # the timed loop's burst-dispatch pattern): the first burst execution
+    # of a freshly-compiled executable through the tunnel pays a one-time
+    # ~10 s load/queue-drain that otherwise lands inside timed rep 1
+    # (measured: rep walls [10.77, 0.52, 0.52] without this pass).
+    _, _, t_warm, _, _ = run_sequence(jnp.full((3,), 1e-6))
+    sync(t_warm)
+
     n_rep = int(os.environ.get("BENCH_REPS", 3))
-    eps = jnp.zeros(3)
+    # per-rep eps must differ ABOVE the f32 ulp of the pose scale: a
+    # 1e-30 chain rounds away inside the program, leaving reps 2..n
+    # bit-identical to rep 1 — the tunnel then serves them from its
+    # dispatch cache and the reported time divides by n_rep. 3e-6 m
+    # start-pose jitter is 0.003 mm (negligible vs the 0.08 mm accuracy
+    # floor) but guarantees every dispatch is genuinely distinct.
+    rep_walls = []
+    t_last = jnp.zeros(3)
     t_begin = time.time()
-    for _ in range(n_rep):
+    for r in range(n_rep):
+        t0_rep = time.time()
+        eps = t_last * 1e-30 + (r + 1) * 3e-6
         _, _, t_last, _, _ = run_sequence(eps)
-        eps = t_last * 1e-30
-    sync(t_last)
+        sync(t_last)
+        rep_walls.append(time.time() - t0_rep)
     dt = (time.time() - t_begin) / (n_rep * (F - 1))
     fps = 1.0 / dt
 
@@ -383,6 +401,7 @@ def main():
             "level_iters": list(kw.get("level_iters", ())),
             "level_caps": list(lvl_caps[0] or ()),
             "reuse_H": reuse_H,
+            "rep_walls_s": [round(w, 3) for w in rep_walls],
             "warm_start": "const_vel" if const_vel else "prev",
             "pose_err_mean_m": round(float(np.mean(errs)), 6),
             "pose_err_max_m": round(float(np.max(errs)), 6),
