@@ -157,6 +157,9 @@ class FrontEnd:
         ps = T.get("pyr_subset")
         self.pyr_subset = None if ps is None else tuple(
             float(x) for x in ps)
+        # async pacing: device yield per tracked frame while a keyframe
+        # request is pending (see _process_frame_tracked); 0 = off
+        self._kf_pending_yield = float(T.get("kf_pending_yield_s", 0.0))
         # cross-frame curvature reuse: re-run the FD probes every N frames
         # (0 disables reuse); invalidated when tracking hits max iters
         self.pyr_reprobe = int(T.get("pyr_reprobe", 5))
@@ -754,6 +757,16 @@ class FrontEnd:
             # (reference slam_frontend.py:407-410)
             self.cleanup(idx)
             log_frame(False)
+            # pacing (async): at full ingest rate the per-frame device
+            # hold leaves the backend only sub-second windows, so a
+            # pending keyframe's mapping batch starves (measured 65 s
+            # for 10 iterations — docs/tpu_full_run_async/README.md).
+            # Yield the device for an uninterrupted slice so the ack
+            # arrives and the window can advance. 0 disables.
+            if (self._kf_pending_yield > 0 and not self.single_thread
+                    and self.link is not None):
+                self.link.want_device.clear()
+                _time.sleep(self._kf_pending_yield)
             return dict(keyframe=False, iters=iters)
 
         last_kf = self.current_window[0]

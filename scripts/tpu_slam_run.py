@@ -60,6 +60,11 @@ T["gaussian_update_every"] = 64
 T["gaussian_update_offset"] = 32
 T["window_size"] = 6
 T["pose_window"] = 3
+# pacing: yield the device while a keyframe ack is pending so mapping
+# batches get uninterrupted slices at full ingest rate (see
+# docs/tpu_full_run_async/README.md round-4 notes)
+T["kf_pending_yield_s"] = float(os.environ.get("KF_YIELD", 0.5 if ASYNC
+                                               else 0.0))
 T["kf_translation"] = 0.01
 T["kf_min_translation"] = 0.005
 T["kf_overlap"] = 1.0

@@ -151,6 +151,8 @@ def test_pipeline_pause_resume():
     cfg = small_config(single_thread=False)
     cfg["Results"]["save_results"] = False
     cfg["Dataset"]["n_frames"] = 6
+    # exercise the pending-keyframe device yield (pacing lever)
+    cfg["Training"]["kf_pending_yield_s"] = 0.05
     from gs_slam_analytica_jacobian_tpu.parallel.pipeline import (
         run_pipelined)
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
