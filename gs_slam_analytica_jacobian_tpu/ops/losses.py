@@ -53,6 +53,33 @@ def image_gradient_mask(image: jnp.ndarray, eps: float = 0.01):
     return s_v == 9.0, s_v == 9.0
 
 
+def depth_reg(depth: jnp.ndarray, gt_image: jnp.ndarray,
+              huber_eps: float = 0.1, mask=None) -> jnp.ndarray:
+    """Edge-aware depth-smoothness regularizer (reference
+    slam_utils.py:41-53): mean of |∂depth| weighted by exp(-10·∂gray²),
+    restricted to the 3x3-all-valid depth mask, summed over the v/h
+    directions. ``huber_eps``/``mask`` are accepted for reference API
+    parity but unused — the reference body never reads them either
+    (dead code in the reference: no caller passes them).
+
+    depth: (1, H, W); gt_image: (C, H, W)."""
+    del huber_eps, mask
+    mask_v, mask_h = image_gradient_mask(depth)
+    gray = jnp.mean(gt_image, axis=0, keepdims=True)
+    gray_grad_v, gray_grad_h = image_gradient(gray)
+    depth_grad_v, depth_grad_h = image_gradient(depth)
+    mv = mask_v.astype(depth.dtype)
+    mh = mask_h.astype(depth.dtype)
+    w_v = jnp.exp(-10.0 * gray_grad_v ** 2)
+    w_h = jnp.exp(-10.0 * gray_grad_h ** 2)
+    # masked means (the reference boolean-indexes then .mean()s)
+    n_v = jnp.maximum(jnp.sum(mv), 1.0)
+    n_h = jnp.maximum(jnp.sum(mh), 1.0)
+    err = (jnp.sum(w_h * jnp.abs(depth_grad_h) * mh) / n_h
+           + jnp.sum(w_v * jnp.abs(depth_grad_v) * mv) / n_v)
+    return err
+
+
 def compute_grad_mask(gray: jnp.ndarray, edge_threshold: float,
                       dataset_type: str = "generic",
                       rows: int = 32, cols: int = 32) -> jnp.ndarray:

@@ -91,6 +91,24 @@ class BackendLink:
             data = self.frontend_queue.get()
             self._apply(frontend, data)
 
+    def wait_ack(self, frontend, timeout: float):
+        """Yield until every pending keyframe ack lands or ``timeout``
+        elapses, applying backend messages as they arrive. Used by the
+        frontend's pending-keyframe device yield: blocking on the queue
+        (instead of a blind sleep) resumes tracking the moment the
+        backend's mapping batch finishes, so an early ack does not cost
+        the full yield window."""
+        deadline = time.monotonic() + timeout
+        while frontend.requested_keyframe > 0:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return
+            try:
+                data = self.frontend_queue.get(timeout=remaining)
+            except queue.Empty:
+                return
+            self._apply(frontend, data)
+
     @staticmethod
     def _apply(frontend, data):
         tag = data[0]

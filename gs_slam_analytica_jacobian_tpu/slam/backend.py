@@ -116,6 +116,12 @@ class BackEnd:
         # case at SLAM lrs; 16 steps stays inside the pad).
         self._plan_cache = None        # (key, plans, iters_used)
         self._plan_reuse = int(T.get("plan_reuse_iters", 16))
+        # staleness telemetry (run-summary): reuse rides the drift
+        # estimate above staying inside the 6 px pad — if a run's
+        # mapping quality degrades, max_stale_iters says whether stale
+        # plans are a plausible culprit without any extra device pulls
+        self.plan_stats = dict(builds=0, reused_batches=0,
+                               reused_iters=0, max_stale_iters=0)
 
     # ------------------------------------------------------------------
     def reset_state(self):
@@ -282,6 +288,11 @@ class BackEnd:
                 and self._plan_cache[0] == plan_key
                 and self._plan_cache[2] < self._plan_reuse):
             plans_in = self._plan_cache[1]
+            self.plan_stats["reused_batches"] += 1
+            self.plan_stats["reused_iters"] += T
+            self.plan_stats["max_stale_iters"] = max(
+                self.plan_stats["max_stale_iters"],
+                self._plan_cache[2] + T)
         out = mapping.mapping_steps(
             self.gm, self.gm_adam, self.store, window_idx, valid,
             opt_pose, opt_exp, self.pose_adam, self.cam, self.bg,
@@ -298,6 +309,8 @@ class BackEnd:
         if out.window_plans is not None:
             # staleness counts EVERY iteration run since the plans were
             # built — including the batch that built them
+            if plans_in is None:
+                self.plan_stats["builds"] += 1
             used = T if plans_in is None else self._plan_cache[2] + T
             self._plan_cache = (plan_key, out.window_plans, used)
         self.iteration_count += T

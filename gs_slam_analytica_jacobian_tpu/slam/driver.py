@@ -142,6 +142,10 @@ class SLAM:
             tracker=self.frontend.tracker,
             renderer=("oracle" if self.backend.use_oracle else
                       ("tiled16" if self.backend.tile16 else "tiled32")),
+            # window pair-plan cache staleness (see BackEnd.plan_stats):
+            # max_stale_iters near plan_reuse_iters with degraded mapping
+            # metrics points at stale plans dropping pairs
+            plan_cache=dict(self.backend.plan_stats),
         )
         flog = self.frontend.frame_log
         if flog:

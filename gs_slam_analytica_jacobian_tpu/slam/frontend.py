@@ -157,6 +157,13 @@ class FrontEnd:
         ps = T.get("pyr_subset")
         self.pyr_subset = None if ps is None else tuple(
             float(x) for x in ps)
+        if (self.pyr_subset is not None
+                and len(self.pyr_subset) != len(self.pyr_levels)):
+            raise ValueError(
+                f"Training.pyr_subset has {len(self.pyr_subset)} entries "
+                f"but pyr_levels has {len(self.pyr_levels)} — they are "
+                f"aligned per level (a shorter tuple would silently drop "
+                f"tracking levels)")
         # async pacing: device yield per tracked frame while a keyframe
         # request is pending (see _process_frame_tracked); 0 = off
         self._kf_pending_yield = float(T.get("kf_pending_yield_s", 0.0))
@@ -762,11 +769,14 @@ class FrontEnd:
             # pending keyframe's mapping batch starves (measured 65 s
             # for 10 iterations — docs/tpu_full_run_async/README.md).
             # Yield the device for an uninterrupted slice so the ack
-            # arrives and the window can advance. 0 disables.
+            # arrives and the window can advance; the wait is drained on
+            # the ack itself (BackendLink.wait_ack), so an early-arriving
+            # ack resumes tracking immediately instead of sleeping out
+            # the window. 0 disables.
             if (self._kf_pending_yield > 0 and not self.single_thread
                     and self.link is not None):
                 self.link.want_device.clear()
-                _time.sleep(self._kf_pending_yield)
+                self.link.wait_ack(self, self._kf_pending_yield)
             return dict(keyframe=False, iters=iters)
 
         last_kf = self.current_window[0]

@@ -60,6 +60,24 @@ def render(
         plan=plan, need_n_touched=need_n_touched, bf16=bf16, tile16=tile16)
 
 
+def mark_visible(means3d: jnp.ndarray, w2c: jnp.ndarray,
+                 proj: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Frustum-visibility check: (N,) bool, True where the point sits in
+    front of the near plane.
+
+    Named equivalent of the reference's
+    ``GaussianRasterizer.markVisible(positions)``
+    (diff_gaussian_rasterization/__init__.py:206-215 →
+    rasterizer_impl.cu checkFrustum → auxiliary.h in_frustum): the CUDA
+    path projects the point but the final predicate is solely
+    ``p_view.z > 0.2`` (prefiltered=false), so ``proj`` is accepted for
+    API parity and unused. The full screen-rect/footprint cull lives in
+    ``gaussian_math.preprocess().valid``."""
+    del proj
+    p_z = means3d @ w2c[2, :3] + w2c[2, 3]
+    return p_z > 0.2
+
+
 def make_render_plan(
     gm: GaussianMap,
     cam: Camera,

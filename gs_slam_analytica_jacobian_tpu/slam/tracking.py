@@ -496,18 +496,41 @@ def _gn_level(
     # weights is opacity- or mask-gated, so they drop out of H and g
     # without any mask plumbing. The EXACT phase (and the probe renders)
     # always run the full plan — keyframe poses see every pixel.
+    # CAVEAT (flow curvature): with curv='flow' the IRLS Jacobian uses
+    # spatial finite differences, so pixels on a kept/skipped tile border
+    # sample background neighbors — the ||J||*sigma weight floor damps but
+    # does not remove the rim bias. The subset stays opt-in (default off;
+    # measured a dead end on the bench scene, PERF.md r3).
     plan_irls = plan
     if (subset_frac < 1.0 and plan is not None and not tile16
             and not use_oracle):
         from ..ops.pallas.tile_kernel2 import TPX, TPY, grid_dims
         H_l, W_l = int(gt_image.shape[1]), int(gt_image.shape[2])
         n_tx, n_ty = grid_dims(W_l, H_l)
-        m = jnp.pad(grad_mask[0], ((0, n_ty * TPY - H_l),
-                                   (0, n_tx * TPX - W_l)))
-        mass = m.reshape(n_ty, TPY, n_tx, TPX).sum(axis=(1, 3)).reshape(-1)
+
+        def tile_mass(img2d):
+            m2 = jnp.pad(img2d, ((0, n_ty * TPY - H_l),
+                                 (0, n_tx * TPX - W_l)))
+            return m2.reshape(n_ty, TPY, n_tx, TPX).sum(
+                axis=(1, 3)).reshape(-1)
+
+        # Rank by the loss-weighted constraint mass: grad-mask pixels
+        # carry the RGB term (weight alpha) and, in RGB-D mode,
+        # valid-depth pixels carry the depth term (weight 1-alpha) even
+        # where the scene is textureless — ranking on grad_mask alone
+        # dropped those depth constraints.
+        mass = tile_mass(grad_mask[0])
+        if not monocular:
+            mass = (alpha * mass
+                    + (1.0 - alpha) * tile_mass(
+                        (gt_depth[0] > 0.01).astype(jnp.float32)))
         k = max(1, int(round(n_tx * n_ty * subset_frac)))
         kth = jnp.sort(mass)[mass.shape[0] - k]
-        keep = mass >= jnp.maximum(kth, 1e-6)
+        # keep >= kth (ties included). When the k-th largest mass is 0
+        # (low-texture scene: most tiles carry no constraints) this keeps
+        # every tile — i.e. falls back to the full plan rather than
+        # silently tracking on near-zero tiles.
+        keep = mass >= kth
         ranges_sub = jnp.where(keep[:, None], plan.ranges,
                                plan.ranges[:, :1])
         plan_irls = plan._replace(ranges=ranges_sub)
