@@ -21,6 +21,17 @@ from ..utils.logging import Log
 from . import tracking
 
 
+@jax.jit
+def _dequant_rgb(rgb_u8):
+    """u8 (H, W, 3) -> f32 (3, H, W) in [0, 1], on device."""
+    return jnp.transpose(rgb_u8, (2, 0, 1)).astype(jnp.float32) * (1 / 255.0)
+
+
+@jax.jit
+def _dequant_depth(depth_u16, inv_scale):
+    return depth_u16.astype(jnp.float32) * inv_scale
+
+
 def _overlap_stats(curr_vis, occ_list):
     """Visibility-overlap statistics against each keyframe's occ-aware
     visibility, computed ON DEVICE with ONE d2h pull. Replaces the
@@ -180,6 +191,9 @@ class FrontEnd:
         self.kernel_bf16 = bool(T.get("kernel_bf16", False))
         # 16x16-subtile kernel (ops/pallas/tile_kernel3) for tracking
         self.tile16 = bool(T.get("tile16", False))
+        # compact frame upload (u8 RGB + u16 depth through the tunnel,
+        # dequantized on device — see _fetch); false restores f32 uploads
+        self.compact_upload = bool(T.get("compact_upload", True))
         self.dataset_type = config["Dataset"]["type"]
         res = config.get("Results", {})
         self.save_dir = None               # set by the SLAM driver
@@ -204,13 +218,45 @@ class FrontEnd:
         self._rng = np.random.default_rng(config.get("seed", 0))
 
     # ------------------------------------------------------------------
+    def _fetch(self, idx: int):
+        """Host decode + h2d upload + on-device derivations of one frame:
+        returns (d_image (3,H,W) f32, d_depth (H,W) f32 | None,
+        grad_mask (1,H,W), pose np). Runs on the prefetch thread for
+        frame k+1 while frame k tracks, so decode AND upload leave the
+        frame-loop critical path.
+
+        The upload prefers the dataset's compact raw path (u8 RGB + u16
+        depth shipped in native width, dequantized on device): through
+        the host<->TPU tunnel the f32 frame upload measured 0.37 s/frame
+        at 1200x680 — the largest single frame-loop cost
+        (docs/tpu_full_run_async) — and the integer encoding is ~3.2x
+        fewer bytes. The gray + Scharr edge mask also derive on device
+        (the former mask round trip alone was ~7 MB/frame of host-link
+        traffic)."""
+        raw = (self.dataset.raw_frame(idx) if self.compact_upload
+               else None)
+        if raw is not None:
+            rgb_u8, depth_u16, scale, pose = raw
+            d_image = _dequant_rgb(jnp.asarray(rgb_u8))
+            d_depth = (None if depth_u16 is None else _dequant_depth(
+                jnp.asarray(depth_u16), jnp.float32(1.0 / scale)))
+        else:
+            image, depth, pose = self.dataset[idx]
+            d_image = jnp.asarray(image, jnp.float32)
+            d_depth = (None if depth is None
+                       else jnp.asarray(depth, jnp.float32))
+        gray = d_image.mean(axis=0, keepdims=True)
+        grad_mask = losses.compute_grad_mask(
+            gray, self.edge_threshold, self.dataset_type)
+        return d_image, d_depth, grad_mask, np.asarray(pose)
+
     def _start_prefetch(self, idx: int):
         """One-frame lookahead on a host thread: frame IO (PNG/EXR decode
         for real datasets, the raytrace for the synthetic one — ~1.5 s at
-        full res) otherwise sits on the critical path of every frame. The
-        reference loads synchronously too (camera_utils.py:66-84), but
-        its decode is cheap next to its tracking; here tracking is
-        ~0.15 s and the load would dominate."""
+        full res) plus the device upload otherwise sit on the critical
+        path of every frame. The reference loads synchronously too
+        (camera_utils.py:66-84), but its decode is cheap next to its
+        tracking; here tracking is ~0.15 s and the load would dominate."""
         import threading
         if not getattr(self.dataset, "prefetchable", False):
             return
@@ -224,7 +270,7 @@ class FrontEnd:
 
         def go():
             try:
-                res[idx] = self.dataset[idx]
+                res[idx] = self._fetch(idx)
             except Exception as e:       # surfaced on consume
                 res["err"] = e
 
@@ -243,19 +289,9 @@ class FrontEnd:
                     f"reloading synchronously", tag="Frontend")
             self._prefetch = None
         if data is None:
-            data = self.dataset[idx]
+            data = self._fetch(idx)
         self._start_prefetch(idx + 1)
-        image, depth, pose = data
-        pose = np.asarray(pose)
-        # ONE h2d upload per tensor; gray + edge mask derive on device
-        # (the former mask round trip alone was ~7 MB/frame of host-link
-        # traffic — the dominant per-frame cost through the axon tunnel)
-        d_image = jnp.asarray(image, jnp.float32)
-        d_depth = (None if depth is None
-                   else jnp.asarray(depth, jnp.float32))
-        gray = d_image.mean(axis=0, keepdims=True)
-        grad_mask = losses.compute_grad_mask(
-            gray, self.edge_threshold, self.dataset_type)
+        d_image, d_depth, grad_mask, pose = data
         rec = FrameRecord(
             uid=idx, R=pose[:3, :3].astype(np.float32),
             t=pose[:3, 3].astype(np.float32),

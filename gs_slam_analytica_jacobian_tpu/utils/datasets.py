@@ -174,6 +174,26 @@ class BaseDataset:
     def __getitem__(self, idx):
         raise NotImplementedError
 
+    def raw_frame(self, idx):
+        """Compact-upload path: the integer source data of a frame, for
+        h2d transfer in its native width with on-device dequantization.
+
+        Returns (rgb_u8 (H, W, 3) uint8, depth_u16 (H, W) uint16 or
+        None, depth_scale float, w2c pose) — dequantized frame must equal
+        ``__getitem__``:  image = transpose(rgb_u8)/255,
+        depth = depth_u16/depth_scale. Returns None when the dataset
+        cannot provide integer-exact frames (the caller falls back to
+        the float path).
+
+        Rationale: the reference keeps decode and GPU upload on a local
+        PCIe link where f32 frames are free (dataset.py:257-278 returns
+        float CUDA tensors); through a host<->TPU tunnel the f32 upload
+        is the single largest per-frame cost (0.37 s/frame measured,
+        docs/tpu_full_run_async) and the source files are u8 PNG/JPEG +
+        u16 depth anyway — shipping the native integers is ~3.2x fewer
+        bytes with bit-identical dequantized values."""
+        return None
+
 
 class MonocularDataset(BaseDataset):
     """reference dataset.py:209-278."""
@@ -217,6 +237,26 @@ class MonocularDataset(BaseDataset):
         image = np.clip(image / 255.0, 0.0, 1.0).astype(np.float32)
         image = image.transpose(2, 0, 1)
         return image, depth, self.poses[idx]
+
+    def raw_frame(self, idx):
+        """Native-width frame for compact h2d upload (see BaseDataset).
+        PNG/JPEG decode + undistortion stay in uint8 (cv2.remap
+        interpolates in the source dtype); depth stays the on-disk
+        uint16. Falls back (None) on unexpected channel counts/dtypes."""
+        image = np.asarray(Image.open(self.color_paths[idx]))
+        if image.dtype != np.uint8 or image.ndim != 3 \
+                or image.shape[2] != 3:
+            return None
+        if self.disorted:
+            image = cv2.remap(image, self.map1x, self.map1y,
+                              cv2.INTER_LINEAR)
+        depth = None
+        if self.has_depth:
+            depth = np.asarray(Image.open(self.depth_paths[idx]))
+            if depth.dtype != np.uint16:
+                return None
+        return image, depth, float(self.depth_scale or 1.0), \
+            self.poses[idx]
 
 
 class StereoDataset(BaseDataset):
@@ -423,6 +463,26 @@ class SyntheticDataset(MonocularDataset):
         z_cam = ((best_pt - org_w) @ w2c[:3, :3].T)[..., 2]
         depth = np.where(covered, z_cam, 0.0).astype(np.float32)
         return img, depth
+
+    # raw_frame quantization: 0.2 mm depth quantum, 13.1 m range
+    _RAW_DEPTH_SCALE = 5000.0
+
+    def raw_frame(self, idx):
+        """Compact-upload path for the synthetic scene. Unlike the
+        file-backed datasets (whose source data IS u8/u16, so the raw
+        path is exact), the synthetic render is f32 — this quantizes to
+        u8 RGB (1/255 quantum) and u16 depth at 5000 counts/m (0.2 mm
+        quantum, the TUM encoding), both far below the scene's tracking
+        noise floor. Disable with Training.compact_upload: false for
+        bit-exact f32 frames."""
+        img, depth, pose = self[idx]
+        rgb = np.clip(np.round(img.transpose(1, 2, 0) * 255.0),
+                      0, 255).astype(np.uint8)
+        d16 = None
+        if depth is not None:
+            d16 = np.clip(np.round(depth * self._RAW_DEPTH_SCALE),
+                          0, 65535).astype(np.uint16)
+        return rgb, d16, self._RAW_DEPTH_SCALE, pose
 
     def __getitem__(self, idx):
         w2c = self.poses[idx]

@@ -297,3 +297,52 @@ def test_euroc_stereo_sgbm_depth(euroc_tree):
     assert valid.mean() > 0.2, "SGBM found too few matches"
     med = np.median(depth[valid])
     np.testing.assert_allclose(med, 47.90639384423901 / DISP, rtol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Compact-upload raw path (u8/u16 h2d + on-device dequantization)
+# ---------------------------------------------------------------------------
+
+def test_tum_raw_frame_dequantizes_exactly(tum_tree):
+    """File-backed datasets ship their native u8/u16 data; the on-device
+    dequantization must reproduce __getitem__ to f32 rounding (the source
+    files ARE integers; the only difference is u8 * f32(1/255) vs
+    numpy's f64 division — 1 ulp)."""
+    import jax.numpy as jnp
+
+    from gs_slam_analytica_jacobian_tpu.slam.frontend import (
+        _dequant_depth, _dequant_rgb)
+
+    root, _ = tum_tree
+    config = {"Dataset": {
+        "type": "tum", "dataset_path": str(root),
+        "Calibration": dict(fx=30.0, fy=30.0, cx=15.5, cy=11.5,
+                            width=32, height=24, depth_scale=5000.0,
+                            distorted=False),
+    }}
+    ds = load_dataset(config)
+    img, depth, pose = ds[0]
+    rgb_u8, depth_u16, scale, pose_r = ds.raw_frame(0)
+    assert rgb_u8.dtype == np.uint8 and rgb_u8.shape == (24, 32, 3)
+    assert depth_u16.dtype == np.uint16
+    np.testing.assert_array_equal(pose, pose_r)
+    d_img = np.asarray(_dequant_rgb(jnp.asarray(rgb_u8)))
+    d_depth = np.asarray(_dequant_depth(jnp.asarray(depth_u16),
+                                        jnp.float32(1.0 / scale)))
+    np.testing.assert_allclose(d_img, img, rtol=2e-7)
+    np.testing.assert_allclose(d_depth, depth, rtol=1e-6)
+
+
+def test_synthetic_raw_frame_within_quanta():
+    cfg = {"Dataset": dict(
+        type="synthetic", n_frames=2, seed=0,
+        Calibration=dict(fx=40.0, fy=40.0, cx=31.5, cy=23.5,
+                         width=64, height=48, depth_scale=1.0,
+                         distorted=False))}
+    ds = load_dataset(cfg)
+    img, depth, pose = ds[1]
+    rgb_u8, depth_u16, scale, pose_r = ds.raw_frame(1)
+    np.testing.assert_array_equal(pose, pose_r)
+    np.testing.assert_allclose(rgb_u8 / 255.0, img.transpose(1, 2, 0),
+                               atol=0.5 / 255)
+    np.testing.assert_allclose(depth_u16 / scale, depth, atol=0.5 / scale)

@@ -1,0 +1,130 @@
+"""Monocular pipeline tests.
+
+The reference's monocular mode (utils/slam_frontend.py:57-108, 442-447) is
+a headline capability: keyframes are seeded from a noisy depth prior
+(rendered-depth median/std clamp + noise), tracking is RGB-only, ATE is
+scale-corrected (Umeyama with scale), and a pre-initialization keyframe
+that loses overlap with the window resets the whole system.
+
+Two tests:
+- an engineered reset exercise: ground-truth-pose tracking
+  with a mid-sequence teleport drives overlap to zero before the window
+  fills, which must trigger the reset -> re-initialize path.
+- a full mono e2e (slow lane): depth-prior seeding, RGB-only tracking,
+  median-depth scaling and scale-aligned ATE on the synthetic scene.
+"""
+
+import numpy as np
+import pytest
+
+from gs_slam_analytica_jacobian_tpu.utils.config import load_config
+
+
+def mono_config(width=64, height=48, n_frames=6, window_size=4):
+    cfg = load_config("configs/synthetic/test.yaml")
+    cal = cfg["Dataset"]["Calibration"]
+    cal["width"], cal["height"] = width, height
+    cal["fx"] = cal["fy"] = 44.0
+    cal["cx"], cal["cy"] = (width - 1) / 2, (height - 1) / 2
+    cfg["Dataset"]["sensor_type"] = "monocular"
+    cfg["Dataset"]["pcd_downsample_init"] = 2
+    cfg["Dataset"]["pcd_downsample"] = 8
+    cfg["Dataset"]["motion_scale"] = 0.3
+    cfg["Dataset"]["n_frames"] = n_frames
+    cfg["Dataset"]["single_thread"] = True
+    T = cfg["Training"]
+    T["renderer"] = "tiled"
+    T["pair_capacity"] = 1 << 14
+    T["init_itr_num"] = 16
+    T["init_gaussian_update"] = 16
+    T["init_gaussian_reset"] = 5000
+    T["tracking_itr_num"] = 8
+    T["pyr_iters"] = [4, 2, 4]
+    T["mapping_itr_num"] = 8
+    T["gaussian_update_every"] = 25
+    T["gaussian_update_offset"] = 7
+    T["window_size"] = window_size
+    T["pose_window"] = 2
+    T["initial_capacity"] = 8192
+    T["kf_capacity"] = 16
+    T["monocular"] = True
+    T["single_thread"] = True
+    T["kf_translation"] = 0.01
+    T["kf_min_translation"] = 0.005
+    T["kf_overlap"] = 1.0
+    cfg["opt_params"]["densify_grad_threshold"] = 0.01
+    cfg["Results"]["save_results"] = False
+    return cfg
+
+
+@pytest.mark.slow
+def test_mono_reset_on_lost_overlap():
+    """Pre-initialization, a keyframe culled from the window for low
+    covisibility must reset the system (reference
+    slam_frontend.py:442-447) and the next frame must re-initialize.
+
+    Tracking is pinned to ground truth (the reset logic under test lives
+    in keyframing, not the tracker) and the trajectory teleports at frame
+    2, so the frame-2 render shares no visible gaussians with keyframe 0:
+    overlap 0 < the 0.4 pre-init cutoff -> reset."""
+    import jax.numpy as jnp
+
+    from gs_slam_analytica_jacobian_tpu.models.camera import PoseState
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+    from gs_slam_analytica_jacobian_tpu.slam.render_api import render
+
+    cfg = mono_config(n_frames=6, window_size=5)
+    cfg["Training"]["kf_interval"] = 1
+    # pre-fill keyframing branch: create_kf = check_time & ratio < overlap
+    cfg["Training"]["kf_overlap"] = 1.1
+
+    slam = SLAM(cfg, interpret=True)
+    ds = slam.dataset
+    # teleport: frames 2+ look at a wall region ~20 view-widths away
+    for i in range(2, len(ds.poses)):
+        ds.poses[i] = ds.poses[i].copy()
+        ds.poses[i][0, 3] += 60.0
+
+    fe = slam.frontend
+
+    def gt_track(idx, rec):
+        rec.R, rec.t = rec.R_gt.copy(), rec.t_gt.copy()
+        cam = fe.cam.replace(R=jnp.asarray(rec.R), t=jnp.asarray(rec.t))
+        out = render(fe.gm, cam, PoseState.zero(), fe.bg,
+                     pair_capacity=fe.pair_capacity, interpret=True)
+        return out, 1
+
+    fe.track = gt_track
+    fe.polish = lambda rec: None
+
+    infos = [fe.process_frame(idx) for idx in range(6)]
+    resets = [i for i, d in enumerate(infos) if d.get("reset")]
+    assert resets == [2], infos
+    # frame 3 re-initialized the system: fresh keyframe list rooted there
+    assert infos[3].get("init"), infos
+    assert fe.kf_indices[0] == 3, fe.kf_indices
+    assert int(slam.backend.gm.num_active()) > 0
+    # the pre-teleport keyframes are gone from the window
+    assert all(u >= 3 for u in fe.current_window), fe.current_window
+
+
+@pytest.mark.slow
+def test_slam_synthetic_monocular_e2e():
+    """Full mono run: noisy depth-prior seeding (add_new_keyframe mono
+    path), RGB-only tracking, mapping, and scale-corrected ATE
+    (utils/eval.py Umeyama with scale). Measured 0.0097 m at 80x48 with
+    8 frames; the gate is ~5x that to absorb the seeding/tracking noise
+    floor of the tiny scene (per-frame motion ~1 cm, scene depth ~3 m)."""
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+
+    # 8 frames -> KFs at 0/2/4/6 fill the 4-slot window and flip
+    # `initialized` (checked on the following frame)
+    cfg = mono_config(n_frames=8, window_size=4)
+    slam = SLAM(cfg, interpret=True)
+    results = slam.run(n_frames=8)
+    assert results["n_frames"] == 8
+    assert np.isfinite(results["ate"]), results
+    assert results["ate"] < 0.05, results
+    assert len(slam.frontend.kf_indices) >= 2
+    assert slam.frontend.initialized   # mono: window filled
+    assert int(slam.backend.gm.num_active()) > 0
