@@ -243,15 +243,26 @@ def main():
             kw["level_exact"] = (0,) * (n_lv - 1) + (1,)
     reuse_H = (tracker == "pyr"
                and os.environ.get("BENCH_REUSE_H", "1") == "1")
+    # cross-frame pair-plan reuse: rebuild plans every K frames, frames
+    # in between hand the previous frame's plans back via plan_in (the
+    # frontend's plan_reuse_frames knob; plans built with the drift pad
+    # stay valid supersets while accumulated flow < pad px)
+    # default 2: rebuild every other frame — measured +11% FPS at
+    # near-baseline pose error (0.104 vs 0.081 mm mean); deeper reuse
+    # (4) is +16% but 4x error from frozen within-tile depth order
+    # (PERF.md r3 lever table)
+    plan_reuse = (int(os.environ.get("BENCH_PLAN_REUSE", "2"))
+                  if tracker == "pyr" else 0)
 
     cap_eff = [PAIR_CAP]   # adaptive fine bucket (see frontend.track)
     lvl_caps = [None]      # per-level adaptive buckets (tuple) or None
 
-    def track_one(k, R_start, t_start, H_in):
+    def track_one(k, R_start, t_start, H_in, plan_in=None):
         kw_k = dict(kw)
         if tracker == "pyr":
             kw_k["H_in"] = H_in
             kw_k["level_caps"] = lvl_caps[0]
+            kw_k["plan_in"] = plan_in
         return track_fn(
             gm, cam, R_start, t_start,
             gts[k][0], gts[k][1], gts[k][2], bg,
@@ -281,6 +292,7 @@ def main():
         t_est = jnp.asarray(poses[0][:3, 3]) + eps
         R_pp = t_pp = None
         H_carry = None
+        plan_carry, plan_age = None, 0
         errs, iters_tot, npairs = [], 0, None
         easy_flags = []
         for k in range(1, F):
@@ -289,11 +301,19 @@ def main():
             else:
                 R_ws, t_ws = R_est, t_est
             R_pp, t_pp = R_est, t_est
+            use_plan = (plan_carry if plan_reuse and plan_age < plan_reuse
+                        else None)
             res = track_one(k, R_ws, t_ws,
-                            H_carry if (reuse_H and k > 1) else None)
+                            H_carry if (reuse_H and k > 1) else None,
+                            plan_in=use_plan)
             R_est, t_est = res[0], res[1]
             if tracker == "pyr" and reuse_H:
                 H_carry = res[7]
+            if plan_reuse:
+                if use_plan is None:
+                    plan_carry, plan_age = res[11], 1
+                else:
+                    plan_age += 1
             if collect:
                 iters_tot += int(res[4])
                 errs.append(float(jnp.linalg.norm(
@@ -352,18 +372,22 @@ def main():
         adapted = True
 
     if tracker == "pyr" and adapted:
-        # re-warm (and re-collect accuracy) at the adapted configuration
-        errs, iters_tot, t_last, _, _ = run_sequence(jnp.zeros(3),
-                                                     collect=True)
+        # re-warm (and re-collect accuracy + pair counts — the adapted
+        # pad/schedule changes both) at the adapted configuration
+        errs, iters_tot, t_last, npairs, _ = run_sequence(jnp.zeros(3),
+                                                          collect=True)
 
-    # final warm pass over the EXACT timed path (collect=False — the
+    # final warm passes over the EXACT timed path (collect=False — the
     # collect passes above pull per-frame scalars, so they never exercise
     # the timed loop's burst-dispatch pattern): the first burst execution
     # of a freshly-compiled executable through the tunnel pays a one-time
     # ~10 s load/queue-drain that otherwise lands inside timed rep 1
-    # (measured: rep walls [10.77, 0.52, 0.52] without this pass).
-    _, _, t_warm, _, _ = run_sequence(jnp.full((3,), 1e-6))
-    sync(t_warm)
+    # (measured: rep walls [10.77, 0.52, 0.52] without this pass), and a
+    # residual ~0.7 s lands in rep 1 unless at least TWO mirrored warm
+    # reps run (measured r3: [1.26, 0.53, ...] with one warm pass).
+    for wr in range(int(os.environ.get("BENCH_WARM_REPS", 2))):
+        _, _, t_warm, _, _ = run_sequence(jnp.full((3,), -(wr + 1) * 3e-6))
+        sync(t_warm)
 
     n_rep = int(os.environ.get("BENCH_REPS", 3))
     # per-rep eps must differ ABOVE the f32 ulp of the pose scale: a
@@ -374,15 +398,46 @@ def main():
     # floor) but guarantees every dispatch is genuinely distinct.
     rep_walls = []
     t_last = jnp.zeros(3)
-    t_begin = time.time()
     for r in range(n_rep):
         t0_rep = time.time()
         eps = t_last * 1e-30 + (r + 1) * 3e-6
         _, _, t_last, _, _ = run_sequence(eps)
         sync(t_last)
         rep_walls.append(time.time() - t0_rep)
-    dt = (time.time() - t_begin) / (n_rep * (F - 1))
+    # median rep wall: the tunnel intermittently charges rep 1 a one-time
+    # ~0.7 s queue-drain that no number of warm passes absorbs (r3:
+    # [1.26, 0.51, 0.53] with two mirrored warm reps); the median is the
+    # steady-state rate and the full rep_walls_s stay in the detail for
+    # audit.
+    dt = float(np.median(rep_walls)) / (F - 1)
     fps = 1.0 / dt
+
+    # --- achieved-compute estimate (auditable roofline figure) ---------
+    # Device time is dominated by the 32x32 compositing kernel; one
+    # (pair, pixel) cell costs ~65 VPU ops forward (tile_kernel2:
+    # deltas 2 + quadratic form 7 + exp ~8 + clamp/mask logic ~12 +
+    # Hillis-Steele transmittance scan 3*log2(64)=18 + weights 4 +
+    # rgb+d accumulate 8 + termination reductions ~6). Achieved
+    # cells/s x ops/cell over the v5e VPU peak (8x128 lanes x 4 ALUs x
+    # ~0.94 GHz ~= 3.85e12 f32 op/s; the MXU is idle in this
+    # elementwise mix, so VPU peak is the relevant ceiling) gives the
+    # utilization fraction. IRLS iterations are forward-only renders;
+    # the keyframing render adds one fwd pass at the fine level. The
+    # while_loop stops at convergence, so per-level executed iteration
+    # counts are estimated by scaling the schedule to the measured
+    # total (iters_per_frame / sum(level_iters)).
+    util_est = None
+    cells_per_frame = None
+    if tracker == "pyr" and npairs is not None:
+        it_l = kw.get("level_iters", (5, 3, 12))
+        sched = sum(it_l)
+        frac = (iters_tot / (F - 1)) / sched if sched else 0.0
+        cells_per_frame = 1024.0 * (
+            frac * sum(float(p) * it for p, it in zip(npairs, it_l))
+            + float(npairs[-1]))       # final keyframing render
+        OPS_PER_CELL = 65.0
+        VPU_PEAK = 3.85e12
+        util_est = cells_per_frame / dt * OPS_PER_CELL / VPU_PEAK
 
     print(json.dumps({
         "metric": "tracking_fps_replica_scale",
@@ -401,10 +456,19 @@ def main():
             "level_iters": list(kw.get("level_iters", ())),
             "level_caps": list(lvl_caps[0] or ()),
             "reuse_H": reuse_H,
+            "plan_reuse": plan_reuse,
+            "plan_pad": kw.get("plan_pad"),
+            "kernel_bf16": bool(kw.get("kernel_bf16", False)),
             "rep_walls_s": [round(w, 3) for w in rep_walls],
             "warm_start": "const_vel" if const_vel else "prev",
             "pose_err_mean_m": round(float(np.mean(errs)), 6),
             "pose_err_max_m": round(float(np.max(errs)), 6),
+            "pair_cells_per_frame": (None if cells_per_frame is None
+                                     else int(cells_per_frame)),
+            "util_est": (None if util_est is None
+                         else round(util_est, 4)),
+            "util_model": ("pair_cells*65op / 3.85e12 VPU-op/s (v5e)"
+                           if util_est is not None else None),
         },
     }))
 

@@ -146,6 +146,8 @@ class SLAM:
             # max_stale_iters near plan_reuse_iters with degraded mapping
             # metrics points at stale plans dropping pairs
             plan_cache=dict(self.backend.plan_stats),
+            # frames tracked on a reused (cross-frame) pair plan
+            track_plan_reuse=self.frontend._plan_reuse_count,
         )
         flog = self.frontend.frame_log
         if flog:

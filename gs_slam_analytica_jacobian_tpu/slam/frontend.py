@@ -189,6 +189,19 @@ class FrontEnd:
         # bf16 kernels measured numerically fine but not faster as
         # implemented (PERF.md) — opt-in
         self.kernel_bf16 = bool(T.get("kernel_bf16", False))
+        # cross-frame pair-plan reuse: hand the previous frame's per-level
+        # plans back to the tracker (plan_in) and rebuild every N frames.
+        # 0 disables. Reuse is gated on the measured per-frame motion
+        # staying well inside the plan pad (a stale plan drops pairs
+        # SILENTLY — the kernel can only composite pairs present in the
+        # plan) and the cache dies with any map update (plans hold
+        # gaussian indices; densify/prune remaps them).
+        self.plan_reuse_frames = int(T.get("plan_reuse_frames", 0))
+        self._plan_cache = None
+        self._plan_age = 0
+        self._plan_sig = None
+        self._last_motion_px = float("inf")
+        self._plan_reuse_count = 0    # telemetry
         # 16x16-subtile kernel (ops/pallas/tile_kernel3) for tracking
         self.tile16 = bool(T.get("tile16", False))
         # compact frame upload (u8 RGB + u16 depth through the tunnel,
@@ -468,6 +481,25 @@ class FrontEnd:
             cap = self._lvl_caps[-1]
         else:
             cap = self.pair_capacity
+        use_plan_reuse = (self.tracker == "pyr" and not self.use_oracle
+                          and self.plan_reuse_frames > 0)
+        plan_sig = None
+        if use_plan_reuse:
+            plan_sig = (kw["levels"], kw["level_iters"],
+                        kw.get("level_caps"), kw["plan_pad"], cap)
+            # accumulated-drift bound: (age+1) frames at the last
+            # measured motion rate must stay well inside the plan pad
+            # (the pad is the ONLY thing keeping a stale plan a valid
+            # superset; beyond it pairs are dropped silently). Needs
+            # pyr_adaptive_levels for the motion telemetry — without it
+            # _last_motion_px stays inf and reuse never engages.
+            budget_ok = ((self._plan_age + 1)
+                         * max(self._last_motion_px, 0.5)
+                         < 0.6 * float(kw["plan_pad"]))
+            if (self._plan_cache is not None
+                    and self._plan_age < self.plan_reuse_frames
+                    and self._plan_sig == plan_sig and budget_ok):
+                kw["plan_in"] = self._plan_cache
         while True:   # doubles caps on overflow; <= log2(ceiling) retries
             res = track_fn(
                 self.gm, self.cam,
@@ -520,6 +552,10 @@ class FrontEnd:
                 if grew:
                     kw["level_caps"] = tuple(self._lvl_caps)
                     cap = self._lvl_caps[-1]
+                    # capacity shapes changed: a cached plan no longer
+                    # fits the retrack's static buffers
+                    kw.pop("plan_in", None)
+                    self._plan_cache = None
                     Log(f"pair overflow: re-tracking at level caps "
                         f"{self._lvl_caps}", tag="Frontend")
                     continue
@@ -532,11 +568,27 @@ class FrontEnd:
                 self._easy_streak = 0
                 kw["level_iters"] = full_iters
                 kw["plan_pad"] = pad_cfg
+                # a rail stop means the motion estimate was wrong — the
+                # cached plan's drift budget is void; rebuild fresh
+                kw.pop("plan_in", None)
+                self._plan_cache = None
                 Log("reduced-schedule rail stop: re-tracking with full "
                     "pyramid", tag="Frontend")
                 continue
             break
         iters = int(packed[14])
+        if use_plan_reuse and len(res) > 11:
+            if iters >= sum(kw["level_iters"]):
+                # rail stop: the pose (and so the plan pose) is suspect
+                self._plan_cache = None
+                self._plan_age = 0
+            elif kw.get("plan_in") is None:
+                self._plan_cache = res[11]
+                self._plan_age = 0
+                self._plan_sig = plan_sig
+            else:
+                self._plan_age += 1
+                self._plan_reuse_count += 1
         if self.tracker == "pyr":
             if iters >= sum(kw["level_iters"]):
                 # rail-stopped at the iteration cap on every level: the
@@ -577,6 +629,9 @@ class FrontEnd:
             prev = self.frames.get(idx - 1)
             motion_px = (0.0 if prev is None
                          else _flow(rec.R, rec.t, prev.R, prev.t))
+            # feeds the plan-reuse drift budget (next frame's gate)
+            self._last_motion_px = motion_px if prev is not None \
+                else float("inf")
             railed = iters >= sum(kw["level_iters"])
             if (corr_px < self._easy_flow_px
                     and motion_px < 4.0 * self._easy_flow_px
@@ -740,9 +795,12 @@ class FrontEnd:
         gm, occ, kf_poses = payload
         self.gm = gm
         # the map changed (densify/prune/optimize): cached tracking
-        # curvature no longer matches the rendered scene
+        # curvature no longer matches the rendered scene, and cached
+        # pair plans index into the OLD gaussian array
         self._H_cache = None
         self._H_age = 0
+        self._plan_cache = None
+        self._plan_age = 0
         self.occ_aware_visibility = dict(occ)
         for uid, R, t in kf_poses:
             if uid in self.frames:

@@ -458,6 +458,7 @@ def _gn_level(
     exact_iters: int = -1,
     tile16: bool = False,
     subset_frac: float = 1.0,
+    plan_in=None,
 ):
     """One pyramid level of IRLS Gauss-Newton pose refinement.
 
@@ -482,9 +483,18 @@ def _gn_level(
 
     Returns (R, t, ea, eb, iters_done, H_last, plan).
     """
-    plan = (None if use_oracle else make_render_plan(
-        gm, cam_l.replace(R=R, t=t), pair_capacity=pair_capacity,
-        radius_scale=1.1, radius_pad=radius_pad, tile16=tile16))
+    # ``plan_in``: cross-frame plan reuse — the caller hands back the plan
+    # this level emitted on a PREVIOUS frame. It stays a valid superset
+    # while the projected pose drift since the plan's build pose is under
+    # ``radius_pad`` pixels; the frontend gates reuse on its image-flow
+    # estimate and rebuilds on a cadence (plan_pairs is a material share
+    # of the per-frame cost on TPU — see PERF.md r3).
+    if plan_in is not None:
+        plan = plan_in
+    else:
+        plan = (None if use_oracle else make_render_plan(
+            gm, cam_l.replace(R=R, t=t), pair_capacity=pair_capacity,
+            radius_scale=1.1, radius_pad=radius_pad, tile16=tile16))
 
     # Texture-ranked tile subset for the forward-only IRLS phase
     # (sparse direct alignment, cf. DSO's high-gradient pixel selection):
@@ -867,6 +877,7 @@ def track_frame_pyr(
     pair_capacity_ceiling: int = 0,
     level_caps: tuple = None,
     level_subset: tuple = None,
+    plan_in=None,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -912,6 +923,10 @@ def track_frame_pyr(
     # adaptive capacity ladder (coarse counts track the visible-gaussian
     # count, fine counts the pixel occupancy — independent quantities)
     lvl_pairs = []
+    # per-level plans actually used (returned for cross-frame reuse; the
+    # frontend hands them back via ``plan_in`` while its flow estimate
+    # stays under the plan pad)
+    plans_out = []
 
     for li, (s, iters_l) in enumerate(zip(levels, level_iters)):
         if iters_l <= 0:
@@ -919,6 +934,7 @@ def track_frame_pyr(
                          else H_in[li])
             lvl_overflow.append(jnp.zeros((), jnp.int32))
             lvl_pairs.append(jnp.zeros((), jnp.int32))
+            plans_out.append(None if plan_in is None else plan_in[li])
             continue
         exact_l = min(int(level_exact[li]), iters_l)
         need_J = exact_l < iters_l and curv == "fd"
@@ -974,9 +990,11 @@ def track_frame_pyr(
             sigma_decay=sigma_decay, sigma_in=sigma_prev,
             step_cap=step_cap, exact_iters=exact_l, tile16=tile16,
             subset_frac=(1.0 if level_subset is None
-                         else float(level_subset[li])))
+                         else float(level_subset[li])),
+            plan_in=None if plan_in is None else plan_in[li])
         total_iters = total_iters + itr_l
         H_out.append(H_prev)
+        plans_out.append(plan_l)
         lvl_overflow.append(jnp.zeros((), jnp.int32) if plan_l is None
                             else plan_l.overflow)
         lvl_pairs.append(jnp.zeros((), jnp.int32) if plan_l is None
@@ -994,4 +1012,5 @@ def track_frame_pyr(
     num_pairs = (jnp.zeros((), jnp.int32) if plan_s1 is None
                  else plan_s1.num_pairs)
     return (R, t, ea, eb, total_iters, out, med, tuple(H_out),
-            jnp.stack(lvl_overflow), num_pairs, jnp.stack(lvl_pairs))
+            jnp.stack(lvl_overflow), num_pairs, jnp.stack(lvl_pairs),
+            tuple(plans_out))

@@ -65,6 +65,9 @@ T["pose_window"] = 3
 # docs/tpu_full_run_async/README.md round-4 notes)
 T["kf_pending_yield_s"] = float(os.environ.get("KF_YIELD", 0.5 if ASYNC
                                                else 0.0))
+# cross-frame pair-plan reuse (rebuild every N frames; drift-budget
+# gated in the frontend — measured +16% tracking FPS in BENCH r3)
+T["plan_reuse_frames"] = int(os.environ.get("PLAN_REUSE", "0"))
 T["kf_translation"] = 0.01
 T["kf_min_translation"] = 0.005
 T["kf_overlap"] = 1.0
@@ -130,6 +133,28 @@ if ASYNC and len(frame_ts) > 1:
 results["ate"] = eval_utils.eval_ate(
     slam.frontend.frames, slam.frontend.kf_indices, save_dir, final=True,
     monocular=False)
+if os.environ.get("EVAL_RENDER") == "1":
+    # full-resolution rendering eval + color-refinement round trip
+    # (reference slam.py:121-187): PSNR/SSIM over every-5th non-KF frame
+    # before refinement, then the photometric refinement loop
+    # (reference budget 26000, slam_backend.py:323 — REFINE_ITERS scales
+    # it; each iteration is one full-res fwd+bwd render, ~0.1 s/iter at
+    # this resolution, see PERF.md mapping table), then the same eval
+    # after. Populates rendering_before_opt/after_opt in run_summary.
+    results["rendering_before_opt"] = slam._eval_rendering("before")
+    print("rendering_before_opt:", results["rendering_before_opt"],
+          flush=True)
+    r_iters = int(os.environ.get("REFINE_ITERS", "26000"))
+    if r_iters:
+        t_r = time.time()
+        slam.backend.color_refinement(r_iters)
+        slam.frontend.sync_backend()
+        results["refine_iters"] = r_iters
+        results["refine_wall_s"] = round(time.time() - t_r, 1)
+        results["rendering_after_opt"] = slam._eval_rendering("after")
+        print(f"rendering_after_opt ({r_iters} iters, "
+              f"{results['refine_wall_s']}s):",
+              results["rendering_after_opt"], flush=True)
 slam._save_renders()
 slam._write_run_summary(results)
 print(f"DONE: {N_FRAMES} frames in {wall:.1f}s "

@@ -113,6 +113,51 @@ def test_sharded_mapping_tiled_renderer(rng):
                                rtol=0, atol=2.5e-3)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_backend_integrated_mesh_trimmed(rng):
+    """Default-lane Training.mesh_devices gate (VERDICT r2 #9): BackEnd
+    with mesh_devices=8 runs init + one keyframe mapping on the virtual
+    mesh and stays finite. Same wiring as the slow-lane variant below at
+    a quarter of the shapes (~18 s warm vs ~60 s)."""
+    from gs_slam_analytica_jacobian_tpu.utils.config import load_config
+    from gs_slam_analytica_jacobian_tpu.slam.backend import BackEnd
+
+    cfg = load_config("configs/synthetic/test.yaml")
+    cal = cfg["Dataset"]["Calibration"]
+    cal["width"], cal["height"] = 32, 24
+    cal["fx"] = cal["fy"] = 20.0
+    cal["cx"], cal["cy"] = 15.5, 11.5
+    T = cfg["Training"]
+    T["renderer"] = "oracle"
+    T["monocular"] = False
+    T["mesh_devices"] = 8
+    T["window_size"] = 4
+    T["pose_window"] = 2
+    T["initial_capacity"] = 256
+    T["kf_capacity"] = 8
+    T["init_itr_num"] = 2
+    T["init_gaussian_update"] = 4
+    T["mapping_itr_num"] = 1
+    cfg["Dataset"]["pcd_downsample_init"] = 16
+    cfg["Dataset"]["pcd_downsample"] = 32
+
+    cam = Camera.create(np.eye(3), np.zeros(3), 20.0, 20.0, 15.5, 11.5,
+                        32, 24)
+    be = BackEnd(cfg, cam)
+    assert be.F % 8 == 0
+    img = rng.uniform(size=(3, 24, 32)).astype(np.float32)
+    dep = rng.uniform(1.0, 3.0, size=(24, 32)).astype(np.float32)
+    be.add_next_kf(0, np.eye(3), np.zeros(3), 0.0, 0.0, img, dep, dep,
+                   init=True)
+    be.initialize_map(0)
+    t1 = np.array([0.02, 0, 0], np.float32)
+    be.add_next_kf(1, np.eye(3), t1, 0.0, 0.0, img, dep, dep)
+    be.handle_keyframe(1, [1, 0])
+    active = np.asarray(be.gm.active)
+    assert np.all(np.isfinite(np.asarray(be.gm.xyz)[active]))
+    assert int(be.gm.num_active()) > 0
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_backend_integrated_mesh(rng):

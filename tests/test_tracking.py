@@ -150,6 +150,41 @@ def test_irls_flow_phase_recovers_pose(small_scene):
     assert np.linalg.norm(R - np.eye(3)) < 2e-3
 
 
+def test_plan_reuse_across_frames_recovers_pose(small_scene):
+    """Cross-frame pair-plan reuse (plan_in): a plan built at frame k's
+    pose stays a valid superset while the pose drift is under the plan
+    pad, so handing it back for frame k+1 must converge to the same
+    fixed point while skipping plan_pairs entirely (the frontend's
+    plan_reuse_frames knob; PERF.md r3 lever)."""
+    cam, gm, bg, gt_image, gt_depth = small_scene
+    tau = np.zeros(6, np.float32)
+    tau[:3] = [0.015, -0.012, 0.015]
+    tau[3:] = [0.005, 0.007, -0.004]
+    T0 = np.asarray(se3_exp(jnp.asarray(tau)))
+    mask = jnp.ones_like(gt_depth)
+    common = dict(
+        lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
+        pair_capacity=1 << 13, levels=(1,), level_iters=(12,),
+        curv="flow", interpret=True, plan_pad=8.0)
+    res = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
+        gt_image, gt_depth, mask, bg, **common)
+    plans = res[11]
+    assert plans[0] is not None and int(plans[0].num_pairs) > 0
+    # second frame: different start pose, reuse the first frame's plan
+    tau2 = tau * np.float32(-0.8)
+    T1 = np.asarray(se3_exp(jnp.asarray(tau2)))
+    res2 = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T1[:3, :3]), jnp.asarray(T1[:3, 3]),
+        gt_image, gt_depth, mask, bg, plan_in=plans, **common)
+    t2 = np.asarray(res2[1])
+    assert np.linalg.norm(t2) < 1e-3, np.linalg.norm(t2)
+    assert np.linalg.norm(np.asarray(res2[0]) - np.eye(3)) < 2e-3
+    # the reused plan is returned unchanged (no rebuild happened)
+    np.testing.assert_array_equal(np.asarray(res2[11][0].pair_gid1),
+                                  np.asarray(plans[0].pair_gid1))
+
+
 def test_flow_jacobian_shapes_and_conf_gating(small_scene):
     cam, gm, bg, gt_image, gt_depth = small_scene
     out = render(gm, cam, None, bg, pair_capacity=1 << 13, interpret=True)
