@@ -116,12 +116,68 @@ def eval_ate(frames: Dict[int, object], kf_ids: List[int], save_dir=None,
     return ate
 
 
+_LPIPS_PROXY_WEIGHTS = None
+
+
+def _lpips_proxy_net():
+    """Fixed-seed random-feature conv pyramid for the LPIPS proxy.
+
+    3 conv layers (3->16->32->64 ch, stride 2, 3x3, He-init from a fixed
+    seed) — deterministic, weight-free (no pretrained download). Random
+    multi-scale conv features correlate with perceptual similarity well
+    above pixel metrics (the LPIPS paper's own random-init baseline),
+    but this is NOT trained LPIPS(alex) — results are labeled
+    ``mean_lpips_proxy`` and are comparable only within this framework.
+    """
+    global _LPIPS_PROXY_WEIGHTS
+    if _LPIPS_PROXY_WEIGHTS is None:
+        rng = np.random.default_rng(1234)
+        shapes = [(16, 3, 3, 3), (32, 16, 3, 3), (64, 32, 3, 3)]
+        _LPIPS_PROXY_WEIGHTS = [
+            jnp.asarray(rng.normal(
+                0.0, np.sqrt(2.0 / (s[1] * s[2] * s[3])),
+                size=s).astype(np.float32))
+            for s in shapes]
+    return _LPIPS_PROXY_WEIGHTS
+
+
+def lpips_proxy(img1: jnp.ndarray, img2: jnp.ndarray) -> float:
+    """LPIPS-style perceptual distance from a FIXED RANDOM network
+    (see _lpips_proxy_net): per-layer unit-normalized feature diffs,
+    spatially averaged, summed over layers (the LPIPS formula,
+    reference eval_utils.py:137-160 uses trained AlexNet weights which
+    cannot be fetched in a zero-egress environment).
+
+    Inputs (3,H,W) in [0,1]. Returns a python float >= 0; 0 iff equal.
+    """
+    import jax
+    import jax.numpy as jnp_  # local alias keeps jit-purity explicit
+
+    ws = _lpips_proxy_net()
+
+    def dist(a, b):
+        xa = (a[None] * 2.0 - 1.0)
+        xb = (b[None] * 2.0 - 1.0)
+        total = 0.0
+        for w in ws:
+            conv = lambda x: jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding="SAME")
+            xa, xb = jax.nn.relu(conv(xa)), jax.nn.relu(conv(xb))
+            na = xa / (jnp_.linalg.norm(xa, axis=1, keepdims=True) + 1e-8)
+            nb = xb / (jnp_.linalg.norm(xb, axis=1, keepdims=True) + 1e-8)
+            total = total + jnp_.mean(jnp_.sum((na - nb) ** 2, axis=1))
+        return total
+
+    return float(jax.jit(dist)(jnp.asarray(img1, jnp.float32),
+                               jnp.asarray(img2, jnp.float32)))
+
+
 def eval_rendering(frames, kf_ids, dataset, render_fn, save_dir=None,
                    iteration="final", every_n: int = 5) -> dict:
     """PSNR/SSIM over every-5th non-keyframe frame (reference
     eval_rendering, eval_utils.py:116-180; LPIPS omitted — no pretrained
     weights in a zero-egress environment)."""
-    psnrs, ssims = [], []
+    psnrs, ssims, lpips_p = [], [], []
     kf_set = set(kf_ids)
     end = len(frames) - 1
     for idx in range(0, end, every_n):
@@ -134,15 +190,23 @@ def eval_rendering(frames, kf_ids, dataset, render_fn, save_dir=None,
         gt = jnp.asarray(image)
         psnrs.append(float(losses.psnr(img, gt)))
         ssims.append(float(losses.ssim(img, gt)))
+        lpips_p.append(lpips_proxy(img, gt))
     result = dict(
         mean_psnr=float(np.mean(psnrs)) if psnrs else float("nan"),
         mean_ssim=float(np.mean(ssims)) if ssims else float("nan"),
-        # LPIPS requires pretrained AlexNet weights; this environment has
-        # no torchvision/torchmetrics and no network egress, so the metric
-        # is reported as null rather than silently dropped
+        # trained LPIPS(alex) requires pretrained weights; this
+        # environment has no torchvision/torchmetrics and no network
+        # egress, so that column stays null and a clearly-labeled
+        # weight-free proxy (fixed random-feature net, see lpips_proxy)
+        # fills the perceptual-metric role
         mean_lpips=None,
-        lpips_note="unavailable: no pretrained AlexNet weights "
-                   "(zero-egress environment)",
+        mean_lpips_proxy=(float(np.mean(lpips_p)) if lpips_p
+                          else float("nan")),
+        lpips_note="mean_lpips (trained alexnet) unavailable without "
+                   "pretrained weights (zero-egress environment); "
+                   "mean_lpips_proxy is a fixed-seed random-feature "
+                   "perceptual distance (lower is better, scale not "
+                   "comparable to trained LPIPS)",
         n_frames=len(psnrs))
     Log(f"PSNR: {result['mean_psnr']:.3f}  SSIM: {result['mean_ssim']:.4f} "
         f"({result['n_frames']} frames)", tag="Eval")
