@@ -253,16 +253,25 @@ def main():
     # (PERF.md r3 lever table)
     plan_reuse = (int(os.environ.get("BENCH_PLAN_REUSE", "2"))
                   if tracker == "pyr" else 0)
+    # visibility-culled tracking (frontend Training.track_vis_cull):
+    # frames plan only the gaussians with n_touched > 0 at the previous
+    # full render; every Mth frame re-tracks unmasked and refreshes the
+    # mask. 0 disables.
+    vis_cull = (int(os.environ.get("BENCH_VISCULL", "0"))
+                if tracker == "pyr" else 0)
 
     cap_eff = [PAIR_CAP]   # adaptive fine bucket (see frontend.track)
     lvl_caps = [None]      # per-level adaptive buckets (tuple) or None
 
-    def track_one(k, R_start, t_start, H_in, plan_in=None):
+    def track_one(k, R_start, t_start, H_in, plan_in=None, track_mask=None,
+                  nt_weight=False):
         kw_k = dict(kw)
         if tracker == "pyr":
             kw_k["H_in"] = H_in
             kw_k["level_caps"] = lvl_caps[0]
             kw_k["plan_in"] = plan_in
+            kw_k["track_mask"] = track_mask
+            kw_k["nt_weight"] = nt_weight
         return track_fn(
             gm, cam, R_start, t_start,
             gts[k][0], gts[k][1], gts[k][2], bg,
@@ -293,6 +302,7 @@ def main():
         R_pp = t_pp = None
         H_carry = None
         plan_carry, plan_age = None, 0
+        vis_mask, vis_age = None, 0
         errs, iters_tot, npairs = [], 0, None
         easy_flags = []
         for k in range(1, F):
@@ -301,14 +311,28 @@ def main():
             else:
                 R_ws, t_ws = R_est, t_est
             R_pp, t_pp = R_est, t_est
-            use_plan = (plan_carry if plan_reuse and plan_age < plan_reuse
+            vis_refresh = vis_cull and (vis_mask is None
+                                        or vis_age >= vis_cull)
+            use_plan = (plan_carry
+                        if (plan_reuse and plan_age < plan_reuse
+                            and not vis_refresh)
                         else None)
             res = track_one(k, R_ws, t_ws,
                             H_carry if (reuse_H and k > 1) else None,
-                            plan_in=use_plan)
+                            plan_in=use_plan,
+                            track_mask=(None if (not vis_cull or vis_refresh)
+                                        else vis_mask),
+                            nt_weight=bool(vis_cull))
             R_est, t_est = res[0], res[1]
             if tracker == "pyr" and reuse_H:
                 H_carry = res[7]
+            if vis_cull:
+                if vis_refresh:
+                    vis_mask, vis_age = res[5].n_touched > 0, 0
+                    if collect:
+                        vis_frac[0] = float(jnp.sum(vis_mask)) / N
+                else:
+                    vis_age += 1
             if plan_reuse:
                 if use_plan is None:
                     plan_carry, plan_age = res[11], 1
@@ -335,6 +359,7 @@ def main():
         return errs, iters_tot, t_est, npairs, easy_flags
 
     med_depth = float(jnp.median(gts[1][1][gts[1][1] > 0]))
+    vis_frac = [None]   # visible fraction under BENCH_VISCULL (telemetry)
 
     # warmup / compile (both H_in variants) + accuracy collection
     errs, iters_tot, t_last, npairs, easy_flags = run_sequence(
@@ -457,6 +482,9 @@ def main():
             "level_caps": list(lvl_caps[0] or ()),
             "reuse_H": reuse_H,
             "plan_reuse": plan_reuse,
+            "vis_cull": vis_cull,
+            "vis_frac": (None if vis_frac[0] is None
+                         else round(vis_frac[0], 4)),
             "plan_pad": kw.get("plan_pad"),
             "kernel_bf16": bool(kw.get("kernel_bf16", False)),
             "rep_walls_s": [round(w, 3) for w in rep_walls],

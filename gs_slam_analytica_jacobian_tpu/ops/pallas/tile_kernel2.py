@@ -140,10 +140,18 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
     return a_un, alpha, ok, dx, dy
 
 
-def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False):
+def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False,
+                        nt_weight=False):
     """with_ntouch=False drops the per-chunk n_touched DMA round trip —
     the tracking inner loop never reads it (renderer_tiled.render
-    need_n_touched=False)."""
+    need_n_touched=False).
+
+    nt_weight=True counts pixels where the pair's actual blend weight
+    alpha*T_excl >= 1/255 instead of the reference's T > 0.5 test
+    (forward.cu:512-514) — the exact "contributed at all" visibility
+    signal the tracking cull masks on (a back-layer splat behind an
+    0.6-alpha surface carries up to 40% of a pixel's color yet fails the
+    T > 0.5 test). Opt-in: reference-parity renders keep the 0.5 rule."""
 
     def kernel(ranges_ref, feat_hbm, *rest):
         if with_ntouch:
@@ -225,8 +233,10 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False):
                 jnp.max((live & term).astype(f32), axis=0, keepdims=True))
 
             if with_ntouch:
+                nt_cond = (include & (w >= ALPHA_MIN) if nt_weight
+                           else include & (T_incl > 0.5))
                 nt = jnp.sum(
-                    jnp.where(include & (T_incl > 0.5), pix_in_f, 0.0),
+                    jnp.where(nt_cond, pix_in_f, 0.0),
                     axis=1, keepdims=True)                    # (K, 1)
                 nt_t = jnp.transpose(nt)
                 slot_o = jax.lax.rem(c, 2)
@@ -510,12 +520,12 @@ def disassemble_image(img, n_tx, n_ty):
 
 @functools.partial(
     jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret",
-                              "with_ntouch", "bf16"))
+                              "with_ntouch", "bf16", "nt_weight"))
 def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
-              with_ntouch=True, bf16=False):
+              with_ntouch=True, bf16=False, nt_weight=False):
     B_al = feat.shape[0]
     feat_v = jnp.transpose(feat)                  # (FEAT_DIM, B_al)
-    kernel = make_forward_kernel(n_tx, W, H, with_ntouch, bf16)
+    kernel = make_forward_kernel(n_tx, W, H, with_ntouch, bf16, nt_weight)
     img_spec = pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
                             memory_space=pltpu.VMEM)
     img_shape = jax.ShapeDtypeStruct((6, n_ty * 8, n_tx * 128), jnp.float32)
@@ -604,10 +614,10 @@ def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
     return jnp.transpose(dfeat_v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def composite32(feat, ranges, n_tx, n_ty, W, H,
                 interpret=False, with_ntouch=True,
-                bf16=False) -> Composite2Out:
+                bf16=False, nt_weight=False) -> Composite2Out:
     """Differentiable 32x32-tiled compositing.
 
     feat: (B_al, FEAT_DIM) aligned pair records; ranges: (n_tiles, 2) i32.
@@ -616,23 +626,24 @@ def composite32(feat, ranges, n_tx, n_ty, W, H,
     bfloat16 (see _chunk_terms) — opt-in for tracking-loop renders.
     """
     img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
-                            with_ntouch, bf16)
+                            with_ntouch, bf16, nt_weight)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     return Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                          final_T=asm[4], n_touched_pairs=ntouch)
 
 
 def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False,
-             with_ntouch=True, bf16=False):
+             with_ntouch=True, bf16=False, nt_weight=False):
     img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
-                            with_ntouch, bf16)
+                            with_ntouch, bf16, nt_weight)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     out = Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                         final_T=asm[4], n_touched_pairs=ntouch)
     return out, (feat, ranges, img)
 
 
-def _c32_bwd(n_tx, n_ty, W, H, interpret, with_ntouch, bf16, res, cot):
+def _c32_bwd(n_tx, n_ty, W, H, interpret, with_ntouch, bf16, nt_weight,
+             res, cot):
     feat, ranges, fwd_img = res
     cot_asm = jnp.concatenate(
         [cot.color_sum, cot.depth_sum[None], cot.final_T[None]], axis=0)

@@ -96,7 +96,7 @@ def make_plan(
     jax.jit,
     static_argnames=("sh_degree", "fx", "fy", "width", "height",
                      "tanfovx", "tanfovy", "pair_capacity", "interpret",
-                     "need_n_touched", "bf16", "tile16"))
+                     "need_n_touched", "bf16", "tile16", "nt_weight"))
 def render(
     means3d: jnp.ndarray,
     cov6: jnp.ndarray,
@@ -118,6 +118,7 @@ def render(
     need_n_touched: bool = True,
     bf16: bool = False,
     tile16: bool = False,
+    nt_weight: bool = False,
 ) -> RenderOutput:
     prep = preprocess(
         means3d, cov6, opacities, shs, sh_degree, w2c, proj, tau,
@@ -146,7 +147,7 @@ def render(
         table = pack_table(prep)
         feat = pair_gather(table, plan)
         out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
-                          interpret, need_n_touched, bf16)
+                          interpret, need_n_touched, bf16, nt_weight)
 
     color = out.color_sum + out.final_T[None] * bg[:, None, None]
     opacity = 1.0 - out.final_T

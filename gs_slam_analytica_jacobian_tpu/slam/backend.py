@@ -192,6 +192,8 @@ class BackEnd:
             jnp.asarray(exposure_b), jnp.asarray(gt_image), gt_depth_arr,
             frame_idx)
 
+        import time as _time
+        _t0 = _time.time()
         ds_cfg = self.config["Dataset"]
         factor = (ds_cfg["pcd_downsample_init"] if init
                   else ds_cfg["pcd_downsample"])
@@ -207,6 +209,10 @@ class BackEnd:
         self._invalidate_plans()
         if int(ov) > 0:
             Log(f"extend overflow {int(ov)}", tag="Backend")
+        _dt = _time.time() - _t0
+        if _dt > 1.0:
+            Log(f"seeded kf {frame_idx}: {n_new} pts in {_dt:.1f}s",
+                tag="Backend")
 
     def _w2c(self, slot):
         w = jnp.eye(4)
@@ -439,26 +445,34 @@ class BackEnd:
     def initialize_map(self, frame_uid: int):
         """reference initialize_map (slam_backend.py:86-140), with the
         iterations between densify/reset events batched on-device."""
+        import time as _time
         events = sorted(set(
             list(range(self.init_gaussian_update, self.init_itr_num + 1,
                        self.init_gaussian_update))
             + [self.init_gaussian_reset,
                self.opt_params["densify_from_iter"]]))
         done = 0
+        _t0 = _time.time()
+        phases = []
         for ev in events + [self.init_itr_num]:
             if ev <= done or ev > self.init_itr_num:
                 continue
+            _tb = _time.time()
             self.map([frame_uid], iters=ev - done, initialization=True,
                      frames_to_optimize=0)
+            phases.append(f"it{done}-{ev}:{_time.time() - _tb:.1f}s")
             done = ev
             if ev % self.init_gaussian_update == 0:
+                _tb = _time.time()
                 self._densify_and_prune(
                     self.init_gaussian_th, self.init_gaussian_extent, None)
+                phases.append(f"densify:{_time.time() - _tb:.1f}s")
             if ev in (self.init_gaussian_reset,
                       self.opt_params["densify_from_iter"]):
                 self.gm, self.gm_adam = gmap.reset_opacity(
                     self.gm, self.gm_adam)
-        Log("Initialized map", tag="Backend")
+        Log(f"Initialized map ({_time.time() - _t0:.1f}s: "
+            + " ".join(phases) + ")", tag="Backend")
 
     def handle_keyframe(self, frame_idx, window_uids):
         """reference slam_backend.py:409-475."""
@@ -478,11 +492,14 @@ class BackEnd:
         self.pose_adam = PoseAdamState.zero(self.F)
         self.map(self.current_window, iters=iter_per_kf,
                  frames_to_optimize=frames_to_optimize)
+        _t1 = _time.time()
         self.map(self.current_window, prune=True,
                  frames_to_optimize=frames_to_optimize)
+        _t2 = _time.time()
         Log(f"keyframe {frame_idx} mapped: {iter_per_kf} iters, "
             f"window {len(self.current_window)}, "
-            f"{_time.time() - _t0:.1f}s", tag="Backend")
+            f"{_t2 - _t0:.1f}s (map {_t1 - _t0:.1f} prune {_t2 - _t1:.1f})",
+            tag="Backend")
 
     def color_refinement(self, iteration_total: int = 26000,
                          batch: int = 256):

@@ -202,6 +202,17 @@ class FrontEnd:
         self._plan_sig = None
         self._last_motion_px = float("inf")
         self._plan_reuse_count = 0    # telemetry
+        # visibility-culled tracking: gaussians with zero n_touched at a
+        # recent pose (occluded / sub-threshold everywhere) are dropped
+        # from the tracking pair plans — the kernel's per-tile pair runs
+        # shrink by the invisible fraction at identical static shapes.
+        # Every track_vis_cull-th frame tracks UNMASKED and refreshes the
+        # mask from its full final render (a stale mask can only shrink:
+        # a masked-out gaussian reports n_touched 0 forever). 0 disables.
+        self.track_vis_cull = int(T.get("track_vis_cull", 0))
+        self._vis_mask = None
+        self._vis_mask_age = 0
+        self._vis_cull_count = 0      # telemetry
         # 16x16-subtile kernel (ops/pallas/tile_kernel3) for tracking
         self.tile16 = bool(T.get("tile16", False))
         # compact frame upload (u8 RGB + u16 depth through the tunnel,
@@ -500,6 +511,27 @@ class FrontEnd:
                     and self._plan_age < self.plan_reuse_frames
                     and self._plan_sig == plan_sig and budget_ok):
                 kw["plan_in"] = self._plan_cache
+        # visibility-culled tracking (see __init__): masked frames plan
+        # only recently-contributing gaussians; refresh frames track
+        # unmasked (and force a plan rebuild so the final keyframing
+        # render — the mask source — sees the full set)
+        use_vis_cull = (self.tracker == "pyr" and not self.use_oracle
+                        and self.track_vis_cull > 0)
+        vis_refresh = False
+        if use_vis_cull:
+            # count n_touched at the blend-weight threshold on EVERY
+            # vis-cull frame (one jit variant, uniform overlap semantics):
+            # the T>0.5 set drops back-layer splats that still carry up
+            # to half a pixel's color, and masking on it biases the
+            # tracked image (tile_kernel2 nt_weight; tests/test_tracking)
+            kw["nt_weight"] = True
+            if (self._vis_mask is not None
+                    and self._vis_mask_age < self.track_vis_cull):
+                kw["track_mask"] = self._vis_mask
+                self._vis_cull_count += 1
+            else:
+                vis_refresh = True
+                kw.pop("plan_in", None)
         while True:   # doubles caps on overflow; <= log2(ceiling) retries
             res = track_fn(
                 self.gm, self.cam,
@@ -556,6 +588,11 @@ class FrontEnd:
                     # fits the retrack's static buffers
                     kw.pop("plan_in", None)
                     self._plan_cache = None
+                    # retrack at full fidelity; the full final render
+                    # refreshes the mask
+                    if kw.pop("track_mask", None) is not None:
+                        self._vis_mask = None
+                        vis_refresh = use_vis_cull
                     Log(f"pair overflow: re-tracking at level caps "
                         f"{self._lvl_caps}", tag="Frontend")
                     continue
@@ -572,6 +609,9 @@ class FrontEnd:
                 # cached plan's drift budget is void; rebuild fresh
                 kw.pop("plan_in", None)
                 self._plan_cache = None
+                if kw.pop("track_mask", None) is not None:
+                    self._vis_mask = None
+                    vis_refresh = use_vis_cull
                 Log("reduced-schedule rail stop: re-tracking with full "
                     "pyramid", tag="Frontend")
                 continue
@@ -589,6 +629,17 @@ class FrontEnd:
             else:
                 self._plan_age += 1
                 self._plan_reuse_count += 1
+        if use_vis_cull:
+            if iters >= sum(kw["level_iters"]):
+                # rail stop: converged-state visibility is suspect
+                self._vis_mask = None
+            elif vis_refresh:
+                # full (unmasked) final render: adopt its contribution
+                # set as the tracking mask for the next window of frames
+                self._vis_mask = out.n_touched > 0
+                self._vis_mask_age = 0
+            else:
+                self._vis_mask_age += 1
         if self.tracker == "pyr":
             if iters >= sum(kw["level_iters"]):
                 # rail-stopped at the iteration cap on every level: the
@@ -801,6 +852,8 @@ class FrontEnd:
         self._H_age = 0
         self._plan_cache = None
         self._plan_age = 0
+        # the visibility mask indexes the OLD gaussian array too
+        self._vis_mask = None
         self.occ_aware_visibility = dict(occ)
         for uid, R, t in kf_poses:
             if uid in self.frames:

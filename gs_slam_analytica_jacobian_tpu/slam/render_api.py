@@ -34,6 +34,7 @@ def render(
     need_n_touched: bool = True,
     bf16: bool = False,
     tile16: bool = False,
+    nt_weight: bool = False,
 ) -> RenderOutput:
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -57,7 +58,8 @@ def render(
         return renderer_ref.render(**kwargs)
     return renderer_tiled.render(
         **kwargs, pair_capacity=pair_capacity, interpret=interpret,
-        plan=plan, need_n_touched=need_n_touched, bf16=bf16, tile16=tile16)
+        plan=plan, need_n_touched=need_n_touched, bf16=bf16, tile16=tile16,
+        nt_weight=nt_weight)
 
 
 def mark_visible(means3d: jnp.ndarray, w2c: jnp.ndarray,
@@ -86,6 +88,7 @@ def make_render_plan(
     radius_pad: float = 0.0,
     scaling_modifier: float = 1.0,
     tile16: bool = False,
+    extra_active=None,
 ):
     """Bin once for the given pose; reuse via ``render(..., plan=plan)``.
 
@@ -93,7 +96,11 @@ def make_render_plan(
     pixel per iteration, so a plan built from the frame-start pose with a
     small ``radius_pad`` stays a superset of the exact pair set (the
     kernel's per-pixel 16px rect test is always evaluated with CURRENT
-    means, so extra pairs only cost time, never correctness)."""
+    means, so extra pairs only cost time, never correctness).
+
+    ``extra_active``: optional (capacity,) bool mask ANDed with the map's
+    active set — the tracking visibility cull (gaussians with zero
+    contribution at the previous frame's pose) plans with this."""
     from ..ops import gaussian_math as gmath
     from ..ops.renderer_tiled import make_plan
 
@@ -102,6 +109,7 @@ def make_render_plan(
         gm.get_features(), gm.active_sh_degree, cam.w2c(), cam.projection(),
         jnp.zeros((6,), jnp.float32), cam.fx, cam.fy, cam.width, cam.height,
         cam.tanfovx, cam.tanfovy)
+    active = gm.active if extra_active is None else gm.active & extra_active
     return make_plan(prep, cam.width, cam.height, pair_capacity,
-                     active=gm.active, radius_scale=radius_scale,
+                     active=active, radius_scale=radius_scale,
                      radius_pad=radius_pad, tile16=tile16)

@@ -459,6 +459,7 @@ def _gn_level(
     tile16: bool = False,
     subset_frac: float = 1.0,
     plan_in=None,
+    track_mask=None,
 ):
     """One pyramid level of IRLS Gauss-Newton pose refinement.
 
@@ -494,7 +495,8 @@ def _gn_level(
     else:
         plan = (None if use_oracle else make_render_plan(
             gm, cam_l.replace(R=R, t=t), pair_capacity=pair_capacity,
-            radius_scale=1.1, radius_pad=radius_pad, tile16=tile16))
+            radius_scale=1.1, radius_pad=radius_pad, tile16=tile16,
+            extra_active=track_mask))
 
     # Texture-ranked tile subset for the forward-only IRLS phase
     # (sparse direct alignment, cf. DSO's high-gradient pixel selection):
@@ -843,7 +845,7 @@ def _strip_J(entry):
                      "sigma_decay", "step_cap", "level_exact", "tile16",
                      "plan_pad", "pair_capacity", "pair_capacity_ceiling",
                      "level_caps", "level_subset", "interpret",
-                     "use_oracle"))
+                     "use_oracle", "nt_weight"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -878,6 +880,8 @@ def track_frame_pyr(
     level_caps: tuple = None,
     level_subset: tuple = None,
     plan_in=None,
+    track_mask=None,
+    nt_weight: bool = False,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -991,7 +995,8 @@ def track_frame_pyr(
             step_cap=step_cap, exact_iters=exact_l, tile16=tile16,
             subset_frac=(1.0 if level_subset is None
                          else float(level_subset[li])),
-            plan_in=None if plan_in is None else plan_in[li])
+            plan_in=None if plan_in is None else plan_in[li],
+            track_mask=track_mask)
         total_iters = total_iters + itr_l
         H_out.append(H_prev)
         plans_out.append(plan_l)
@@ -1005,9 +1010,15 @@ def track_frame_pyr(
     cam = cam_template.replace(R=R, t=t)
     # The finest-level plan (built with a pose-drift pad) stays a valid
     # superset at the converged pose — reuse it for the keyframing render.
+    # ``nt_weight``: visibility-cull refresh frames count n_touched at the
+    # blend-weight threshold instead of the reference's T > 0.5 rule (see
+    # tile_kernel2.make_forward_kernel) — the T > 0.5 set drops back-layer
+    # splats that still carry up to half a pixel's color, and masking on
+    # it diverges on translucent scenes (tests/test_tracking.py).
     out = render(gm, cam, None, bg, pair_capacity=pair_capacity,
                  interpret=interpret, use_oracle=use_oracle,
-                 plan=plan_s1, tile16=tile16)
+                 plan=plan_s1, tile16=tile16,
+                 nt_weight=nt_weight and not tile16 and not use_oracle)
     med = losses.median_depth(out.depth, out.opacity)
     num_pairs = (jnp.zeros((), jnp.int32) if plan_s1 is None
                  else plan_s1.num_pairs)

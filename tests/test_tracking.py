@@ -207,3 +207,47 @@ def test_grad_mask_shape_all_dataset_types():
     for t in ("replica", "generic", "synthetic", "tum"):
         m = losses.compute_grad_mask(g, 1.1, t)
         assert m.shape == (1, 64, 96), (t, m.shape)
+
+def test_vis_cull_mask_recovers_pose(small_scene):
+    """Visibility-culled tracking (track_mask): planning only the
+    gaussians that contributed at a nearby pose must cut the pair count
+    and still converge to the same fixed point — splats with zero blend
+    weight everywhere carry no pose information (the frontend's
+    Training.track_vis_cull knob). The mask comes from a refresh render
+    with nt_weight=True: the reference's T > 0.5 n_touched rule keeps
+    only 78 of these 600 translucent splats and the masked render then
+    differs by 0.07 mean |dcolor| — tracking on that mask measured a
+    5x-diverged pose, which is why refresh frames count at the
+    blend-weight threshold instead."""
+    cam, gm, bg, gt_image, gt_depth = small_scene
+    tau = np.zeros(6, np.float32)
+    tau[:3] = [0.015, -0.012, 0.015]
+    tau[3:] = [0.005, 0.007, -0.004]
+    T0 = np.asarray(se3_exp(jnp.asarray(tau)))
+    mask = jnp.ones_like(gt_depth)
+    common = dict(
+        lr_rot=0.003, lr_trans=0.001, rgb_boundary_threshold=0.01,
+        pair_capacity=1 << 13, levels=(1,), level_iters=(12,),
+        curv="flow", interpret=True)
+    # full-set frame supplies the visibility mask (the refresh frame)
+    res = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T0[:3, :3]), jnp.asarray(T0[:3, 3]),
+        gt_image, gt_depth, mask, bg, nt_weight=True, **common)
+    vis = res[5].n_touched > 0
+    n_vis = int(jnp.sum(vis))
+    assert 0 < n_vis < gm.capacity     # some gaussians must be culled
+    full_pairs = int(res[11][0].num_pairs)
+    # masked frame: same problem, planned over the visible subset only
+    tau2 = tau * np.float32(-0.8)
+    T1 = np.asarray(se3_exp(jnp.asarray(tau2)))
+    res2 = tracking.track_frame_pyr(
+        gm, cam, jnp.asarray(T1[:3, :3]), jnp.asarray(T1[:3, 3]),
+        gt_image, gt_depth, mask, bg, track_mask=vis, **common)
+    t2 = np.asarray(res2[1])
+    assert np.linalg.norm(t2) < 1e-3, np.linalg.norm(t2)
+    assert np.linalg.norm(np.asarray(res2[0]) - np.eye(3)) < 2e-3
+    masked_pairs = int(res2[11][0].num_pairs)
+    assert masked_pairs < full_pairs
+    # the masked final render reports n_touched only inside the mask
+    touched2 = np.asarray(res2[5].n_touched > 0)
+    assert not np.any(touched2 & ~np.asarray(vis))
