@@ -129,6 +129,7 @@ class FrontEnd:
         self._cap_quantum = 1 << 17
         self._lvl_caps = None       # per-pyramid-level adaptive buckets
         self._lvl_streaks = None
+        self._seen_caps = set()     # caps tuples compiled this process
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
         # "pyr" = coarse-to-fine IRLS Gauss-Newton (default); "gn" =
         # single-level GN; "adam" = the reference's Adam loop
@@ -617,6 +618,8 @@ class FrontEnd:
                 continue
             break
         iters = int(packed[14])
+        if kw.get("level_caps") is not None:
+            self._seen_caps.add(tuple(kw["level_caps"]))
         if use_plan_reuse and len(res) > 11:
             if iters >= sum(kw["level_iters"]):
                 # rail stop: the pose (and so the plan pose) is suspect
@@ -709,7 +712,17 @@ class FrontEnd:
                     self._cap_quantum)
                 if want < self._lvl_caps[li]:
                     self._lvl_streaks[li] += 1
-                    if self._lvl_streaks[li] >= 5:
+                    # shrink ONLY into a caps tuple this process has
+                    # already run (compiled): a shrink to a fresh bucket
+                    # is a full tracker compile INSIDE the frame loop —
+                    # measured 145 s at steady frame 47
+                    # (results/tpu_async_r3d, caps -> 393216) — to save
+                    # a few ms of plan length. Growth (correctness) is
+                    # never gated.
+                    candidate = list(self._lvl_caps)
+                    candidate[li] = want
+                    if (self._lvl_streaks[li] >= 5
+                            and tuple(candidate) in self._seen_caps):
                         self._lvl_caps[li] = want
                         self._lvl_streaks[li] = 0
                         changed = True

@@ -9,6 +9,7 @@ expectation; distCUDA2 becomes ops.knn.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -48,6 +49,11 @@ def backproject_depth(
     return pts_w, cols, valid
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("downsample_factor", "point_size",
+                     "adaptive_pointsize", "max_sh_degree", "isotropic",
+                     "max_points"))
 def seed_from_frame(
     image: jnp.ndarray,       # (3, H, W) (exposure-corrected upstream)
     depth: jnp.ndarray,       # (H, W) — the frontend's depth_map
@@ -67,7 +73,13 @@ def seed_from_frame(
     Matches create_pcd_from_image_and_depth (gaussian_model.py:209-279):
     random 1/downsample keep, adaptive point size min(0.05, ps*median z),
     scale = log(sqrt(max(meanDist3NN, 1e-7) * point_size)), opacity 0.5,
-    identity rotation, DC-only color."""
+    identity rotation, DC-only color.
+
+    Jitted as ONE program: the eager version was ~20 separate XLA
+    dispatches, and through the axon tunnel every executable pays a
+    one-time first-dispatch load — the first keyframe seed measured
+    170 s with every compile already in the persistent cache
+    (results/tpu_async_r3d/run.log)."""
     H, W = depth.shape
     P = H * W
     if max_points is None:

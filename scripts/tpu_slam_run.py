@@ -52,7 +52,13 @@ cfg["Dataset"]["single_thread"] = not ASYNC
 # the frame loop (results/tpu_async_r3b) — and the steady-state map on
 # this scene is ~100-150k gaussians
 T["initial_capacity"] = 1 << int(os.environ.get("CAP0_LOG2", "18"))
-T["pair_capacity"] = 1 << (21 if os.environ.get("TILE16") == "1" else 20)
+# pair-capacity ceiling: the adaptive ladder STARTS the fine level at
+# this value, and pair_gather cost scales with capacity — 2^19 matches
+# this scene's observed steady fine caps (524288 held ~271k pairs with
+# 2x headroom at the 96-frame map), so the ladder never moves and no
+# mid-run tracker compile can trigger
+T["pair_capacity"] = 1 << int(os.environ.get(
+    "PAIRCAP_LOG2", "21" if os.environ.get("TILE16") == "1" else "19"))
 T["tile16"] = os.environ.get("TILE16") == "1"
 # pow2 budgets: few distinct mapping_steps compiles
 T["init_itr_num"] = 128
@@ -185,6 +191,14 @@ if os.environ.get("FRESH_FPS") == "1":
     steady_dir = os.path.join(save_dir, "steady")
     os.makedirs(steady_dir, exist_ok=True)
     slam2 = SLAM(cfg, save_dir=steady_dir, dataset=slam.dataset)
+    # hand pass 1's adaptive-capacity ladder (and the set of caps tuples
+    # already compiled in this process) to the steady pass so it starts
+    # on warm program variants instead of re-walking the ladder through
+    # fresh compiles
+    if slam.frontend._lvl_caps is not None:
+        slam2.frontend._lvl_caps = list(slam.frontend._lvl_caps)
+        slam2.frontend._lvl_streaks = [0] * len(slam.frontend._lvl_caps)
+    slam2.frontend._seen_caps = set(slam.frontend._seen_caps)
     results2 = run_frames(slam2, label="steady ")
     results2["ate"] = eval_utils.eval_ate(
         slam2.frontend.frames, slam2.frontend.kf_indices, steady_dir,
