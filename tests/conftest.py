@@ -50,3 +50,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def no_persistent_cache():
+    """Disable the persistent compilation cache for one test.
+
+    The CPU PJRT serializer deterministically segfaults on the mono e2e
+    mapping executable (a large lax.scan over interpret-mode pallas
+    callbacks): first observed as a corrupted-entry abort on cache READ,
+    then — after clearing the cache — as a segfault inside
+    ``executable.serialize()`` on WRITE (jax 0.9.0,
+    compilation_cache.py:265). Interpret-mode compiles are cheap, so the
+    test loses nothing by skipping persistence."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)

@@ -109,7 +109,7 @@ def test_mono_reset_on_lost_overlap():
 
 
 @pytest.mark.slow
-def test_slam_synthetic_monocular_e2e():
+def test_slam_synthetic_monocular_e2e(no_persistent_cache):
     """Full mono run: noisy depth-prior seeding (add_new_keyframe mono
     path), RGB-only tracking, mapping, and scale-corrected ATE
     (utils/eval.py Umeyama with scale). Measured 0.0097 m at 80x48 with
