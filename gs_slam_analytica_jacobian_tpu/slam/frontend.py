@@ -219,6 +219,10 @@ class FrontEnd:
         # compact frame upload (u8 RGB + u16 depth through the tunnel,
         # dequantized on device — see _fetch); false restores f32 uploads
         self.compact_upload = bool(T.get("compact_upload", True))
+        # compile + first-dispatch every tracker variant right after map
+        # init, before the frame-loop clock (see prewarm_tracking)
+        self.prewarm = bool(T.get("prewarm_tracking", False))
+        self._prewarmed = False
         self.dataset_type = config["Dataset"]["type"]
         res = config.get("Results", {})
         self.save_dir = None               # set by the SLAM driver
@@ -375,6 +379,82 @@ class FrontEnd:
         depth_map = self.add_new_keyframe(idx, init=True)
         self.backend_request_init(idx, rec, depth_map)
         self.reset = False
+
+    # ------------------------------------------------------------------
+    def prewarm_tracking(self):
+        """Compile AND first-dispatch every tracker variant the steady
+        frame loop can reach, before the frame-loop clock starts.
+
+        Through the axon tunnel each jitted tracker variant pays a
+        one-time cost on its first run: a persistent-cache load or a full
+        XLA compile, plus a ~10 s first-dispatch executable upload
+        (PERF.md r3 "one-time executable costs"). The steady loop cycles
+        through {full, reduced} schedule x {fresh, cached} H x {fresh,
+        reused} plan — six distinct programs — so a cold run hits
+        multi-second stalls INSIDE the frame loop (track_max 18.2 s /
+        9.5 s in docs/tpu_full_run_async/run_summary_96_{paced,steady}
+        .json). Walking the variants here on the just-initialized first
+        keyframe moves that cost before the clock. With vis-culling
+        enabled the walk also covers the refresh/masked variants (the
+        first call of each triplet tracks unmasked and refreshes the
+        mask, the later ones track masked). Tracker caches and telemetry
+        are restored afterwards so the real run starts from scratch.
+        The reference has no analogue: its CUDA kernels ship precompiled,
+        so its first tracked frame runs at steady cost (slam.py:113-119
+        starts the FPS clock at frame 0)."""
+        if self.tracker != "pyr" or self.use_oracle or self._prewarmed:
+            return
+        if not self.current_window:
+            return
+        import copy as _copy
+        import time as _time
+        idx = self.current_window[0]
+        rec0 = self.frames.get(idx)
+        if rec0 is None or rec0.gt_image is None:
+            return
+        t0 = _time.time()
+        scratch = _copy.copy(rec0)   # track() rebinds rec.R/t/exposure
+        prev_key = idx - 1           # _warm_start reads frames[idx-1]
+        saved_prev = self.frames.get(prev_key)
+        self.frames[prev_key] = _copy.copy(rec0)
+        saved = (self._H_cache, self._H_age, self._easy_streak,
+                 self._plan_cache, self._plan_age, self._plan_sig,
+                 self._last_motion_px, self.median_depth,
+                 self._vis_mask, self._vis_mask_age,
+                 self._plan_reuse_count, self._vis_cull_count)
+        if self.link is not None:
+            self.link.want_device.set()
+        n_calls = 0
+        try:
+            streaks = [0, 3] if self.pyr_adaptive_levels else [0]
+            for streak in streaks:
+                self._H_cache, self._H_age = None, 0
+                self._plan_cache, self._plan_age = None, 0
+                self._plan_sig, self._vis_mask = None, None
+                for drop_plan in (False, True, False):
+                    # walk (H none, plan none) -> (H, plan none) ->
+                    # (H, plan reused); each track() call refills the
+                    # caches the next one consumes
+                    self._easy_streak = streak
+                    if drop_plan:
+                        self._plan_cache = None
+                    self.track(idx, scratch)
+                    n_calls += 1
+        finally:
+            (self._H_cache, self._H_age, self._easy_streak,
+             self._plan_cache, self._plan_age, self._plan_sig,
+             self._last_motion_px, self.median_depth,
+             self._vis_mask, self._vis_mask_age,
+             self._plan_reuse_count, self._vis_cull_count) = saved
+            if saved_prev is None:
+                self.frames.pop(prev_key, None)
+            else:
+                self.frames[prev_key] = saved_prev
+            if self.link is not None:
+                self.link.want_device.clear()
+            self._prewarmed = True
+        Log(f"prewarmed {n_calls} tracker variants in "
+            f"{_time.time() - t0:.1f}s", tag="Frontend")
 
     # ------------------------------------------------------------------
     def _warm_start(self, idx: int):
@@ -891,6 +971,8 @@ class FrontEnd:
         if self.reset:
             self.initialize(idx, rec)
             self.current_window = [idx]
+            if self.prewarm:
+                self.prewarm_tracking()
             return dict(keyframe=True, init=True, iters=0)
 
         self.initialized = self.initialized or (

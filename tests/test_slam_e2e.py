@@ -188,3 +188,26 @@ def test_pipeline_pause_resume():
     assert held_at < 6, "system finished before the pause took hold"
     assert seen == list(range(6))
     assert int(slam.backend.gm.num_active()) > 0
+
+
+def test_prewarm_tracking_state_restored():
+    """Training.prewarm_tracking compiles the {full,reduced} x {H} x
+    {plan} tracker variants right after map init (frontend
+    prewarm_tracking) and must leave no trace: tracker caches and
+    telemetry restored, the synthetic frames[idx-1] slot removed, and
+    the run's accuracy unchanged."""
+    cfg = small_config()
+    cfg["Results"]["save_results"] = False
+    T = cfg["Training"]
+    T["prewarm_tracking"] = True
+    T["plan_reuse_frames"] = 2
+    cfg["Dataset"]["n_frames"] = 5
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+
+    slam = SLAM(cfg, interpret=True)
+    fe = slam.frontend
+    results = slam.run(n_frames=5)
+    assert fe._prewarmed
+    assert -1 not in fe.frames          # injected warm-start slot removed
+    assert np.isfinite(results["ate"]), results
+    assert results["ate"] < 0.12, results
