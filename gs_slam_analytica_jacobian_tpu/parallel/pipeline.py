@@ -175,6 +175,8 @@ def backend_loop(backend, backend_queue: queue.Queue,
                     rec.gt_image, rec.gt_depth, depth_map, init=True)
                 backend.initialize_map(idx)
                 backend.current_window = [idx]
+                if getattr(backend, "prewarm", False):
+                    backend.prewarm_mapping()
                 push("init")
             elif tag == "keyframe":
                 _, idx, rec, window, depth_map = data

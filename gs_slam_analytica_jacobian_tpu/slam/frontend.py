@@ -916,6 +916,8 @@ class FrontEnd:
             rec.gt_image, rec.gt_depth, depth_map, init=True)
         self.backend.initialize_map(idx)
         self.backend.current_window = [idx]
+        if getattr(self.backend, "prewarm", False):
+            self.backend.prewarm_mapping()
         self.sync_backend()
 
     def backend_request_keyframe(self, idx, rec, window, depth_map):

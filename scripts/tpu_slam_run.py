@@ -78,10 +78,12 @@ T["kf_pending_yield_s"] = float(os.environ.get("KF_YIELD", 0.5 if ASYNC
 # cross-frame pair-plan reuse (rebuild every N frames; drift-budget
 # gated in the frontend — measured +16% tracking FPS in BENCH r3)
 T["plan_reuse_frames"] = int(os.environ.get("PLAN_REUSE", "0"))
-# compile + first-dispatch all tracker variants before the frame-loop
-# clock (frontend.prewarm_tracking): removes the 9-18 s track_max
-# stalls measured inside the loop in run_summary_96_{paced,steady}
+# compile + first-dispatch all tracker and mapping variants before the
+# frame-loop clock (frontend.prewarm_tracking / backend.prewarm_mapping):
+# removes the 9-18 s track_max stalls and the 191 s first-keyframe
+# mapping stall measured inside the loop in run_summary_96_paced
 T["prewarm_tracking"] = os.environ.get("PREWARM", "1") == "1"
+T["prewarm_mapping"] = os.environ.get("PREWARM", "1") == "1"
 T["kf_translation"] = 0.01
 T["kf_min_translation"] = 0.005
 T["kf_overlap"] = 1.0

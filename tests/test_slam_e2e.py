@@ -200,6 +200,7 @@ def test_prewarm_tracking_state_restored():
     cfg["Results"]["save_results"] = False
     T = cfg["Training"]
     T["prewarm_tracking"] = True
+    T["prewarm_mapping"] = True
     T["plan_reuse_frames"] = 2
     cfg["Dataset"]["n_frames"] = 5
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
@@ -211,3 +212,32 @@ def test_prewarm_tracking_state_restored():
     assert -1 not in fe.frames          # injected warm-start slot removed
     assert np.isfinite(results["ate"]), results
     assert results["ate"] < 0.12, results
+
+
+@pytest.mark.slow
+def test_prewarm_async_pipeline():
+    """Async variant of the prewarm test: backend.prewarm_mapping runs
+    inside the pipeline's init handler (parallel/pipeline.py) on its own
+    thread — including the fabricated fully-valid-window walk — and the
+    throwaway iterations must not leak into the mapped state or the ack
+    protocol."""
+    cfg = small_config(single_thread=False)
+    cfg["Results"]["save_results"] = False
+    T = cfg["Training"]
+    T["prewarm_tracking"] = True
+    T["prewarm_mapping"] = True
+    T["plan_reuse_frames"] = 2
+    cfg["Dataset"]["n_frames"] = 6
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+    from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
+        run_pipelined
+    from gs_slam_analytica_jacobian_tpu.utils import eval as eval_utils
+
+    slam = SLAM(cfg, interpret=True)
+    run_pipelined(slam.frontend, slam.backend, 6)
+    ate = eval_utils.eval_ate(
+        slam.frontend.frames, slam.frontend.kf_indices, "/tmp/pw_async",
+        final=True, monocular=False)
+    assert slam.frontend._prewarmed
+    assert np.isfinite(ate) and ate < 0.12, ate
+    assert int(slam.backend.gm.num_active()) > 50
