@@ -112,6 +112,11 @@ class BackendLink:
     @staticmethod
     def _apply(frontend, data):
         tag = data[0]
+        if tag == "crash":
+            # the backend thread died — every wait_* call sits on this
+            # queue, so without propagation the frontend would block
+            # forever (e.g. wait_init after an OOM during map init)
+            raise RuntimeError(f"backend thread crashed: {data[1]}")
         if tag in ("sync_backend", "init", "keyframe"):
             frontend.sync_backend(tuple(data[1:4]))
             if tag == "keyframe":
@@ -131,6 +136,17 @@ def backend_loop(backend, backend_queue: queue.Queue,
                             backend.keyframe_poses()])
 
     paused = False
+    try:
+        _backend_loop_body(backend, backend_queue, frontend_queue,
+                           want_device, push, paused)
+    except Exception as e:   # noqa: BLE001 — propagate to the frontend
+        Log(f"backend thread crashed: {e!r}", tag="Backend")
+        frontend_queue.put(["crash", repr(e)])
+        raise
+
+
+def _backend_loop_body(backend, backend_queue, frontend_queue,
+                       want_device, push, paused):
     while True:
         if backend_queue.empty():
             if paused or len(backend.current_window) == 0:

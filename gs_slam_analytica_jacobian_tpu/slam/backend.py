@@ -14,6 +14,10 @@ from typing import Dict, List, Optional
 
 _NAN_CHECK = os.environ.get("GS_SLAM_NAN_CHECK") == "1"
 
+# shape families prewarm_mapping has walked in this process (compiles and
+# tunnel first-dispatch are per-process one-time costs)
+_PREWARMED: set = set()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -499,6 +503,18 @@ class BackEnd:
         (slam_backend.py:409-475 runs at steady cost from keyframe 1)."""
         if self.use_oracle or not self.current_window:
             return
+        # once per process per shape family: compiles and first-dispatch
+        # are process-level one-time costs, and a second walk (e.g. the
+        # runner's steady re-pass constructing a fresh SLAM while the
+        # first instance's map is still device-resident) spends real HBM
+        # on throwaway batches — measured RESOURCE_EXHAUSTED on v5e
+        # (results/tpu_async_r3g pass 2)
+        key = (self.gm.capacity, self.pair_capacity,
+               self.cam.height, self.cam.width, self.window_size)
+        if key in _PREWARMED:
+            Log("mapping variants already prewarmed in this process",
+                tag="Backend")
+            return
         import time as _time
         t0 = _time.time()
         snap = (self.gm, self.gm_adam, self.store, self.pose_adam,
@@ -539,6 +555,7 @@ class BackEnd:
              self.plan_stats, self.occ_aware_visibility,
              self.initialized, self._key, py_state) = snap
             self._py_rng.setstate(py_state)
+        _PREWARMED.add(key)
         Log(f"prewarmed mapping variants ({n} throwaway iters) in "
             f"{_time.time() - t0:.1f}s", tag="Backend")
 

@@ -20,6 +20,10 @@ from ..ops import losses
 from ..utils.logging import Log
 from . import tracking
 
+# shape families prewarm_tracking has walked in this process (compiles
+# and tunnel first-dispatch are per-process one-time costs)
+_PREWARMED: set = set()
+
 
 @jax.jit
 def _dequant_rgb(rgb_u8):
@@ -406,6 +410,13 @@ class FrontEnd:
             return
         if not self.current_window:
             return
+        pw_key = (self.gm.capacity, self.pair_capacity,
+                  self.cam.height, self.cam.width)
+        if pw_key in _PREWARMED:
+            self._prewarmed = True
+            Log("tracker variants already prewarmed in this process",
+                tag="Frontend")
+            return
         import copy as _copy
         import time as _time
         idx = self.current_window[0]
@@ -427,19 +438,40 @@ class FrontEnd:
         n_calls = 0
         try:
             streaks = [0, 3] if self.pyr_adaptive_levels else [0]
-            for streak in streaks:
-                self._H_cache, self._H_age = None, 0
-                self._plan_cache, self._plan_age = None, 0
-                self._plan_sig, self._vis_mask = None, None
-                for drop_plan in (False, True, False):
-                    # walk (H none, plan none) -> (H, plan none) ->
-                    # (H, plan reused); each track() call refills the
-                    # caches the next one consumes
-                    self._easy_streak = streak
-                    if drop_plan:
-                        self._plan_cache = None
-                    self.track(idx, scratch)
-                    n_calls += 1
+
+            def walk():
+                calls = 0
+                for streak in streaks:
+                    self._H_cache, self._H_age = None, 0
+                    self._plan_cache, self._plan_age = None, 0
+                    self._plan_sig, self._vis_mask = None, None
+                    for drop_plan in (False, True, False):
+                        # walk (H none, plan none) -> (H, plan none) ->
+                        # (H, plan reused); each track() call refills the
+                        # caches the next one consumes
+                        self._easy_streak = streak
+                        if drop_plan:
+                            self._plan_cache = None
+                        if self._lvl_streaks is not None:
+                            # a 5-streak mid-walk shrink would swap the
+                            # caps tuple between variants
+                            self._lvl_streaks = [0] * len(self._lvl_streaks)
+                        self.track(idx, scratch)
+                        calls += 1
+                return calls
+
+            n_calls += walk()
+            if self.cap_adaptive and self._lvl_caps is not None:
+                # growth attractor: a mid-run pair overflow redirects into
+                # a SEEN caps tuple when one covers the need (track()), so
+                # walking the all-ceiling tuple here means overflow growth
+                # never compiles inside the frame loop (measured 75.9 s
+                # track_max at a coarse-level cap doubling,
+                # results/tpu_async_r3g pass 1)
+                saved_caps = list(self._lvl_caps)
+                self._lvl_caps = [self.pair_capacity] * len(saved_caps)
+                n_calls += walk()
+                self._lvl_caps = saved_caps
         finally:
             (self._H_cache, self._H_age, self._easy_streak,
              self._plan_cache, self._plan_age, self._plan_sig,
@@ -453,6 +485,7 @@ class FrontEnd:
             if self.link is not None:
                 self.link.want_device.clear()
             self._prewarmed = True
+        _PREWARMED.add(pw_key)
         Log(f"prewarmed {n_calls} tracker variants in "
             f"{_time.time() - t0:.1f}s", tag="Frontend")
 
@@ -663,6 +696,19 @@ class FrontEnd:
                         self._lvl_streaks[li] = 0
                         grew = True
                 if grew:
+                    # prefer an already-compiled caps tuple that covers
+                    # the doubled need over a fresh tracker compile
+                    # inside the frame loop (prewarm_tracking walks the
+                    # all-ceiling attractor; a 2x-padded cap is valid —
+                    # capacities only size the static pair buffers)
+                    cand = tuple(self._lvl_caps)
+                    if cand not in self._seen_caps:
+                        covers = [c for c in self._seen_caps
+                                  if len(c) == n_lvl
+                                  and all(a >= b
+                                          for a, b in zip(c, cand))]
+                        if covers:
+                            self._lvl_caps = list(min(covers, key=sum))
                     kw["level_caps"] = tuple(self._lvl_caps)
                     cap = self._lvl_caps[-1]
                     # capacity shapes changed: a cached plan no longer

@@ -196,15 +196,26 @@ if os.environ.get("FRESH_FPS") == "1":
     # precompiled). Full artifact set is written to <outdir>/steady.
     steady_dir = os.path.join(save_dir, "steady")
     os.makedirs(steady_dir, exist_ok=True)
-    slam2 = SLAM(cfg, save_dir=steady_dir, dataset=slam.dataset)
+    # free pass 1's device state before building the steady instance:
+    # two full SLAM states (map + Adam + KF store + window visibility +
+    # kept keyframe records) alongside the steady pass's own peak blew
+    # HBM on v5e (RESOURCE_EXHAUSTED, results/tpu_async_r3g pass 2)
+    lvl_caps = (list(slam.frontend._lvl_caps)
+                if slam.frontend._lvl_caps is not None else None)
+    seen_caps = set(slam.frontend._seen_caps)
+    dataset = slam.dataset
+    del slam
+    import gc
+    gc.collect()
+    slam2 = SLAM(cfg, save_dir=steady_dir, dataset=dataset)
     # hand pass 1's adaptive-capacity ladder (and the set of caps tuples
     # already compiled in this process) to the steady pass so it starts
     # on warm program variants instead of re-walking the ladder through
     # fresh compiles
-    if slam.frontend._lvl_caps is not None:
-        slam2.frontend._lvl_caps = list(slam.frontend._lvl_caps)
-        slam2.frontend._lvl_streaks = [0] * len(slam.frontend._lvl_caps)
-    slam2.frontend._seen_caps = set(slam.frontend._seen_caps)
+    if lvl_caps is not None:
+        slam2.frontend._lvl_caps = lvl_caps
+        slam2.frontend._lvl_streaks = [0] * len(lvl_caps)
+    slam2.frontend._seen_caps = seen_caps
     results2 = run_frames(slam2, label="steady ")
     results2["ate"] = eval_utils.eval_ate(
         slam2.frontend.frames, slam2.frontend.kf_indices, steady_dir,

@@ -227,6 +227,10 @@ def test_prewarm_async_pipeline():
     T["prewarm_tracking"] = True
     T["prewarm_mapping"] = True
     T["plan_reuse_frames"] = 2
+    # distinct capacity from the single-thread prewarm test above: the
+    # prewarm walk is once-per-process per shape family (frontend/backend
+    # _PREWARMED), and this test must actually exercise it
+    T["initial_capacity"] = 4096
     cfg["Dataset"]["n_frames"] = 6
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
     from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
@@ -241,3 +245,24 @@ def test_prewarm_async_pipeline():
     assert slam.frontend._prewarmed
     assert np.isfinite(ate) and ate < 0.12, ate
     assert int(slam.backend.gm.num_active()) > 50
+
+
+def test_pipeline_backend_crash_propagates():
+    """A dying backend thread must not wedge the frontend forever in
+    wait_init/wait_ack: backend_loop posts a ["crash"] message that every
+    BackendLink wait re-raises (parallel/pipeline.py)."""
+    cfg = small_config(single_thread=False)
+    cfg["Results"]["save_results"] = False
+    cfg["Dataset"]["n_frames"] = 4
+    from gs_slam_analytica_jacobian_tpu.parallel.pipeline import \
+        run_pipelined
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+
+    slam = SLAM(cfg, interpret=True)
+
+    def boom(idx):
+        raise RuntimeError("synthetic backend failure")
+
+    slam.backend.initialize_map = boom
+    with pytest.raises(RuntimeError, match="backend thread crashed"):
+        run_pipelined(slam.frontend, slam.backend, 4)
