@@ -236,6 +236,10 @@ def main():
             # per-level IRLS tile-subset fractions, e.g. "1,1,0.5"
             kw["level_subset"] = tuple(
                 float(x) for x in os.environ["BENCH_SUBSET"].split(","))
+        if "BENCH_FINAL_LEVEL" in os.environ:
+            # decimation of the final keyframing render (fine-at-s2
+            # schedules run the whole per-frame loop below full res)
+            kw["final_level"] = int(os.environ["BENCH_FINAL_LEVEL"])
         # keep level_exact aligned with a custom level count (zip in
         # track_frame_pyr stops at the shortest sequence)
         n_lv = len(kw.get("levels", (4, 2, 1)))

@@ -50,6 +50,7 @@ class PairPlan(NamedTuple):
     seg_end: jnp.ndarray      # (N,) int32 emission segment end (exclusive)
     num_pairs: jnp.ndarray    # () int32 pairs actually emitted (<= capacity)
     overflow: jnp.ndarray     # () int32 pairs dropped for lack of capacity
+    num_kept: jnp.ndarray     # () int32 pairs surviving the conic cull
 
 
 def _rect(mean2d, rx, ry, tile_w, tile_h, n_tx, n_ty):
@@ -67,7 +68,7 @@ def _rect(mean2d, rx, ry, tile_w, tile_h, n_tx, n_ty):
 
 
 @partial(jax.jit, static_argnames=(
-    "tile_w", "tile_h", "n_tx", "n_ty", "capacity", "chunk"))
+    "tile_w", "tile_h", "n_tx", "n_ty", "capacity", "chunk", "conic_cull"))
 def plan_pairs(
     prep: Preprocessed,
     tile_w: int, tile_h: int, n_tx: int, n_ty: int,
@@ -75,8 +76,26 @@ def plan_pairs(
     chunk: int = 128,
     radius_scale: float = 1.0,
     radius_pad: float = 0.0,
+    conic_cull: bool = True,
 ) -> PairPlan:
-    """Expand valid Gaussians into depth-sorted, tile-grouped pair slots."""
+    """Expand valid Gaussians into depth-sorted, tile-grouped pair slots.
+
+    ``conic_cull``: per-(gaussian, tile) elliptical culling. The rect
+    emission (the reference's getRect AABB, auxiliary.h:46-56) covers the
+    axis-aligned bounding box of the 2D splat, but the compositing kernel
+    skips every cell whose alpha falls below 1/255 (forward.cu:496-500;
+    tile_kernel2 ALPHA_MIN) — so a pair whose PEAK alpha over its tile is
+    under that threshold contributes exactly zero and can be dropped from
+    the plan with bit-identical output. The peak is the exact minimum of
+    the conic quadratic form over the tile's pixel box (inflated by
+    ``radius_pad``, the same pose-drift budget the rects carry, so plan
+    reuse stays safe), evaluated on the four box edges — for the thin
+    anisotropic splats of a converged map the AABB's corner tiles are
+    mostly sub-threshold, which is where the pair volume (and therefore
+    the kernel's pair-cell bill, PERF.md r3 roofline) goes. Culled pairs
+    keep their emission slot (capacity and sort length are sized by the
+    rect emission) but leave every tile range, so the kernel never walks
+    them."""
     prep = jax.tree.map(jax.lax.stop_gradient, prep)
     n = prep.depth.shape[0]
     n_tiles = n_tx * n_ty
@@ -114,15 +133,59 @@ def plan_pairs(
     pair_ok = p_idx < num_pairs
 
     # one packed gather for per-pair gaussian data
-    btab = jnp.stack([x0.astype(jnp.float32), y0.astype(jnp.float32),
-                      jnp.maximum(w, 1).astype(jnp.float32),
-                      prep.depth], axis=1)                   # (N, 4)
-    bt = btab[gid]                                           # (capacity, 4)
+    cols = [x0.astype(jnp.float32), y0.astype(jnp.float32),
+            jnp.maximum(w, 1).astype(jnp.float32), prep.depth]
+    if conic_cull:
+        cols += [prep.mean2d[:, 0], prep.mean2d[:, 1],
+                 prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+                 prep.opacity]
+    btab = jnp.stack(cols, axis=1)                           # (N, 4|10)
+    bt = btab[gid]                                           # (capacity, .)
     wg = bt[:, 2].astype(jnp.int32)
     tx = bt[:, 0].astype(jnp.int32) + local % wg
     ty = bt[:, 1].astype(jnp.int32) + local // wg
     tile_id = jnp.where(pair_ok, ty * n_tx + tx, n_tiles)
-    depth_key = jnp.where(pair_ok, bt[:, 3], jnp.inf)
+
+    if conic_cull:
+        f32 = jnp.float32
+        mx, my = bt[:, 4], bt[:, 5]
+        ca = jnp.maximum(bt[:, 6], 1e-12)
+        cb = bt[:, 7]
+        cc = jnp.maximum(bt[:, 8], 1e-12)
+        opa = bt[:, 9]
+        # pixel box of the tile (kernel pixel coords are the integers
+        # tx*tile_w .. tx*tile_w+tile_w-1), inflated by the pose-drift pad
+        pad = radius_pad
+        dxlo = (tx * tile_w).astype(f32) - pad - mx
+        dxhi = (tx * tile_w + (tile_w - 1)).astype(f32) + pad - mx
+        dylo = (ty * tile_h).astype(f32) - pad - my
+        dyhi = (ty * tile_h + (tile_h - 1)).astype(f32) + pad - my
+        inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
+
+        # exact min of Q(d) = a dx^2 + 2 b dx dy + c dy^2 over the box:
+        # 0 if the mean is inside, else the min over the four edges, each
+        # a 1D quadratic with a closed-form clamped stationary point.
+        def q_edge_x(ex):
+            yy = jnp.clip(-cb * ex / cc, dylo, dyhi)
+            return ca * ex * ex + 2.0 * cb * ex * yy + cc * yy * yy
+
+        def q_edge_y(ey):
+            xx = jnp.clip(-cb * ey / ca, dxlo, dxhi)
+            return ca * xx * xx + 2.0 * cb * ey * xx + cc * ey * ey
+
+        qmin = jnp.minimum(
+            jnp.minimum(q_edge_x(dxlo), q_edge_x(dxhi)),
+            jnp.minimum(q_edge_y(dylo), q_edge_y(dyhi)))
+        qmin = jnp.where(inside, 0.0, qmin)
+        # keep iff peak alpha = opa * exp(-qmin/2) could reach the
+        # kernel's skip threshold; the 0.5 slack absorbs the conic drift
+        # the box pad cannot (the pad budgets mean2d motion only)
+        qthr = 2.0 * jnp.log(jnp.maximum(opa, 1e-12) * (2.0 * 255.0))
+        tile_id = jnp.where(pair_ok & (qmin > qthr), n_tiles, tile_id)
+
+    pair_live = tile_id < n_tiles
+    depth_key = jnp.where(pair_live, bt[:, 3], jnp.inf)
+    num_kept = jnp.sum(pair_live.astype(jnp.int32))
 
     # packed [tile | depth-bits] single int32 key — the reference fuses
     # the same pair key into one 64-bit word for its radix sort
@@ -171,4 +234,5 @@ def plan_pairs(
     return PairPlan(pair_gid1=pair_gid1, ranges=ranges,
                     aligned_of_em=aligned_of_em,
                     seg_start=starts, seg_end=offs,
-                    num_pairs=num_pairs, overflow=overflow)
+                    num_pairs=num_pairs, overflow=overflow,
+                    num_kept=num_kept)

@@ -123,6 +123,12 @@ class BackEnd:
         # case at SLAM lrs; 16 steps stays inside the pad).
         self._plan_cache = None        # (key, plans, iters_used)
         self._plan_reuse = int(T.get("plan_reuse_iters", 16))
+        # sample the 2 random mapping keyframes once per BATCH (constant
+        # across its iterations) so their pair plans amortize with the
+        # window's; false restores the reference's per-iteration sampling
+        # (slam_backend.py:168-227) at ~2 extra plan builds per iteration
+        self.map_random_per_batch = bool(T.get("map_random_per_batch",
+                                               True))
         # staleness telemetry (run-summary): reuse rides the drift
         # estimate above staying inside the 6 px pad — if a run's
         # mapping quality degrades, max_stale_iters says whether stale
@@ -306,6 +312,14 @@ class BackEnd:
             self.plan_stats["max_stale_iters"] = max(
                 self.plan_stats["max_stale_iters"],
                 self._plan_cache[2] + T)
+        # constant random slots across the batch rows -> plan them once
+        # per batch alongside the window (mapping_steps n_planned)
+        rows_const = all(r == randoms_per_iter[0]
+                         for r in randoms_per_iter[1:])
+        n_planned = (self.window_size + 2
+                     if (rows_const and self.map_random_per_batch
+                         and self.mesh is None and not self.use_oracle)
+                     else None)
         out = mapping.mapping_steps(
             self.gm, self.gm_adam, self.store, window_idx, valid,
             opt_pose, opt_exp, self.pose_adam, self.cam, self.bg,
@@ -318,7 +332,7 @@ class BackEnd:
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16,
             all_valid=all_valid, need_n_touched=need_nt,
-            window_plans_in=plans_in)
+            window_plans_in=plans_in, n_planned=n_planned)
         if out.window_plans is not None:
             # staleness counts EVERY iteration run since the plans were
             # built — including the batch that built them
@@ -372,8 +386,19 @@ class BackEnd:
                 batch = min(remaining,
                             self._next_event(self.iteration_count)
                             - self.iteration_count)
-            randoms = [self._pick_randoms() if not initialization else []
-                       for _ in range(batch)]
+            if initialization:
+                randoms = [[] for _ in range(batch)]
+            elif self.map_random_per_batch:
+                # one random pair per BATCH (constant rows): the batch's
+                # random-slot pair plans amortize like the window's
+                # (mapping_steps n_planned) instead of rebuilding per
+                # iteration. Coverage over the keyframe pool accrues
+                # across batches (8-25 iters each) rather than per
+                # iteration — the reference resamples per iteration only
+                # because its CUDA binning is free (slam_backend.py:170).
+                randoms = [self._pick_randoms()] * batch
+            else:
+                randoms = [self._pick_randoms() for _ in range(batch)]
             out = self._run_batch(window_uids, randoms, frames_to_optimize,
                                   initialization,
                                   need_nt=prune or batch == remaining)

@@ -166,6 +166,12 @@ class FrontEnd:
         self._easy_streak = 0
         self._easy_flow_px = float(T.get("pyr_easy_flow_px", 2.0))
         self.pyr_probes = T.get("pyr_probes", "coarse")
+        # resolution (decimation) of the per-frame final keyframing
+        # render. 2 lets a fine-at-s2 schedule keep the WHOLE per-frame
+        # loop at half resolution (the render's consumers — n_touched
+        # visibility sets, median depth — are resolution-insensitive);
+        # keyframe creation re-renders full-res for depth seeding.
+        self.pyr_final_level = int(T.get("pyr_final_level", 1))
         # per-level IRLS tile-subset fractions (sparse direct alignment:
         # rank 32x32 tiles by grad-mask mass, track on the top fraction;
         # exact/polish renders always use every tile). Aligned with
@@ -551,8 +557,10 @@ class FrontEnd:
                 levels, iters = [1], [max(self.pyr_iters)]
                 exacts = [0 if self.pyr_exact == "auto" else iters[0]]
                 subsets = [1.0]
-            if levels[-1] != 1:
-                levels.append(1)
+            if levels[-1] > self.pyr_final_level:
+                # the finest tracked level must reach the final-render
+                # resolution (default full res)
+                levels.append(self.pyr_final_level)
                 iters.append(2)
                 exacts.append(0 if self.pyr_exact == "auto" else 2)
                 subsets.append(1.0)
@@ -589,6 +597,9 @@ class FrontEnd:
                       level_subset=(tuple(subsets)
                                     if self.pyr_subset is not None
                                     else None),
+                      final_level=(self.pyr_final_level
+                                   if levels[-1] >= self.pyr_final_level
+                                   else levels[-1]),
                       H_in=self._H_cache if reuse_H else None)
         adaptive = (self.cap_adaptive and self.tracker == "pyr"
                     and not self.use_oracle)
@@ -1101,8 +1112,21 @@ class FrontEnd:
                 Log("Keyframes lack sufficient overlap, resetting",
                     tag="Frontend")
                 return dict(keyframe=False, reset=True, iters=iters)
-            depth_map = self.add_new_keyframe(
-                idx, depth=out.depth, opacity=out.opacity)
+            if self.pyr_final_level != 1 and not self.use_oracle:
+                # the per-frame final render ran at reduced resolution
+                # (pyr_final_level); depth seeding is per-pixel, so
+                # re-render this keyframe full-res at the polished pose
+                from .render_api import render as _render
+                out_full = _render(
+                    self.gm, self.cam.replace(
+                        R=jnp.asarray(rec.R), t=jnp.asarray(rec.t)),
+                    None, self.bg, pair_capacity=self.pair_capacity,
+                    interpret=self.interpret)
+                depth_map = self.add_new_keyframe(
+                    idx, depth=out_full.depth, opacity=out_full.opacity)
+            else:
+                depth_map = self.add_new_keyframe(
+                    idx, depth=out.depth, opacity=out.opacity)
             self.backend_request_keyframe(
                 idx, rec, self.current_window, depth_map)
             # interim trajectory eval every save_trj_kf_intv keyframes

@@ -845,7 +845,7 @@ def _strip_J(entry):
                      "sigma_decay", "step_cap", "level_exact", "tile16",
                      "plan_pad", "pair_capacity", "pair_capacity_ceiling",
                      "level_caps", "level_subset", "interpret",
-                     "use_oracle", "nt_weight"))
+                     "use_oracle", "nt_weight", "final_level"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -882,6 +882,7 @@ def track_frame_pyr(
     plan_in=None,
     track_mask=None,
     nt_weight: bool = False,
+    final_level: int = 1,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -1004,10 +1005,10 @@ def track_frame_pyr(
                             else plan_l.overflow)
         lvl_pairs.append(jnp.zeros((), jnp.int32) if plan_l is None
                          else plan_l.num_pairs)
-        if s == 1:
+        if s == final_level:
             plan_s1 = plan_l
+            cap_final = cap_l
 
-    cam = cam_template.replace(R=R, t=t)
     # The finest-level plan (built with a pose-drift pad) stays a valid
     # superset at the converged pose — reuse it for the keyframing render.
     # ``nt_weight``: visibility-cull refresh frames count n_touched at the
@@ -1015,7 +1016,16 @@ def track_frame_pyr(
     # tile_kernel2.make_forward_kernel) — the T > 0.5 set drops back-layer
     # splats that still carry up to half a pixel's color, and masking on
     # it diverges on translucent scenes (tests/test_tracking.py).
-    out = render(gm, cam, None, bg, pair_capacity=pair_capacity,
+    # ``final_level``: resolution of this keyframing render. Its per-
+    # gaussian outputs (n_touched visibility -> overlap ratios, median
+    # depth) are resolution-insensitive, so a fine-at-s2 schedule can run
+    # the WHOLE per-frame loop at half resolution; the frontend re-renders
+    # full-res only on actual keyframe creation (depth seeding needs
+    # per-pixel depth; slam/frontend.py add_new_keyframe).
+    if plan_s1 is None:
+        cap_final = pair_capacity
+    cam = _cam_level(cam_template, final_level).replace(R=R, t=t)
+    out = render(gm, cam, None, bg, pair_capacity=cap_final,
                  interpret=interpret, use_oracle=use_oracle,
                  plan=plan_s1, tile16=tile16,
                  nt_weight=nt_weight and not tile16 and not use_oracle)

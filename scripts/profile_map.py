@@ -139,7 +139,7 @@ def one_frame_grad(eps):
         out = render(g, cam, None, jnp.zeros(3), pair_capacity=CAP_PAIRS,
                      need_n_touched=False)
         return _losses.loss_mapping_rgbd(
-            out.color, out.depth, store.gt_image[0], store.gt_depth[0],
+            out.color, out.depth, store.image(0), store.depth(0),
             0.01, 0.95)
     return jax.grad(loss)(gm.xyz + eps)
 
@@ -176,7 +176,7 @@ timeit(f"n_touched renders ({F})", nt_only)
 
 # seeding (eager path, as the backend calls it)
 depth_map = jnp.asarray(rng.uniform(1, 5, size=(H, W)).astype(np.float32))
-image = store.gt_image[0]
+image = store.image(0)
 key = jax.random.PRNGKey(0)
 
 

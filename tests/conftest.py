@@ -31,10 +31,16 @@ if not TPU_LANE:
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:
         pass
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsslam")
+    # Key the cache dir by jax version: entries serialized by a different
+    # jax/PJRT build deserialize into segfaults, not cache misses.
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/jax_cache_gsslam_{jax.__version__}"
+    )
 else:
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_gsslam_tpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jax_cache_gsslam_tpu_{jax.__version__}",
+    )
 # Persist EVERY compile: the e2e/multichip tests dispatch hundreds of small
 # eager programs (scatter/reshard/KFStore updates) that individually sit
 # under any seconds-level threshold but together dominate suite runtime.
@@ -62,8 +68,19 @@ def no_persistent_cache():
     then — after clearing the cache — as a segfault inside
     ``executable.serialize()`` on WRITE (jax 0.9.0,
     compilation_cache.py:265). Interpret-mode compiles are cheap, so the
-    test loses nothing by skipping persistence."""
+    test loses nothing by skipping persistence.
+
+    IMPORTANT: jax's cache object is a process-global singleton that is
+    initialized lazily ONCE (compilation_cache.py:136-153); flipping
+    ``jax_compilation_cache_dir`` after that first initialization is a
+    no-op — the already-built cache keeps serving (and serializing)
+    entries.  ``reset_cache()`` drops the singleton so the config change
+    actually takes effect, both on entry and on restore."""
+    from jax._src import compilation_cache as _cc
+
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    _cc.reset_cache()

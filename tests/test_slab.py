@@ -45,6 +45,7 @@ def single_device_render(gm, cam, bg):
         cam.height, cam.tanfovx, cam.tanfovy, bg, active=gm.active)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_slab_render_matches_single_device(scene):
     cam, gm, bg = scene
@@ -59,6 +60,7 @@ def test_slab_render_matches_single_device(scene):
                                atol=5e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_slab_mapping_grads_match_single_device(scene):
     cam, gm, bg = scene

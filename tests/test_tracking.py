@@ -94,6 +94,7 @@ def test_flow_gn_recovers_pose(small_scene):
     assert int(jnp.sum(res[5].n_touched)) > 0
 
 
+@pytest.mark.slow
 def test_irls_fwd_only_phase_recovers_pose(small_scene):
     """level_exact < level_iters: most iterations use the fwd-only IRLS
     gradient J^T W r from the FD probe Jacobian; the trailing exact
@@ -208,6 +209,7 @@ def test_grad_mask_shape_all_dataset_types():
         m = losses.compute_grad_mask(g, 1.1, t)
         assert m.shape == (1, 64, 96), (t, m.shape)
 
+@pytest.mark.slow
 def test_vis_cull_mask_recovers_pose(small_scene):
     """Visibility-culled tracking (track_mask): planning only the
     gaussians that contributed at a nearby pose must cut the pair count

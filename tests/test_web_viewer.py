@@ -4,6 +4,8 @@ HTTP surface: page, live frame rendering in all three view modes, free
 orbit camera, status, and the pause/unpause control grammar."""
 
 import json
+
+import pytest
 import urllib.request
 
 import numpy as np
@@ -56,6 +58,10 @@ def post(url):
 
 
 def test_web_viewer_endpoints():
+    """Default-lane viewer coverage: page, status, one live render, and
+    the pause/unpause control grammar. The depth/normal view modes and
+    the free-orbit camera each compile their own render programs on this
+    1-CPU image (~90 s cold) — they live in the slow-lane walk below."""
     from gs_slam_analytica_jacobian_tpu.gui.web import WebViewer
 
     slam = tiny_slam()
@@ -73,15 +79,8 @@ def test_web_viewer_endpoints():
         assert code == 200 and st["frame"] == 2
         assert st["n_gaussians"] > 50 and not st["paused"]
 
-        # follow-camera render, all three view modes, PNG magic
-        for mode in ("color", "depth", "normal"):
-            code, body = get(base + f"/frame.png?mode={mode}&follow=1")
-            assert code == 200 and body[:4] == b"\x89PNG", (mode, body[:300])
-
-        # free-orbit camera (mouse-drag role)
-        code, body = get(
-            base + "/frame.png?mode=color&follow=0&yaw=0.7&pitch=-0.3"
-                   "&dist=1.5")
+        # follow-camera live render, PNG magic
+        code, body = get(base + "/frame.png?mode=color&follow=1")
         assert code == 200 and body[:4] == b"\x89PNG", body[:300]
 
         # pause/unpause control grammar (Packet_vis2main role)
@@ -92,6 +91,32 @@ def test_web_viewer_endpoints():
 
         code, _ = get(base + "/nope")
         assert code == 404
+    finally:
+        viewer.stop()
+
+
+@pytest.mark.slow
+def test_web_viewer_render_modes():
+    """Slow-lane viewer walk: all three view modes (color/depth/normal)
+    and the free-orbit camera (mouse-drag role), each a distinct render
+    program (gui/web.py rasterise counterpart of slam_gui.py:540-571)."""
+    from gs_slam_analytica_jacobian_tpu.gui.web import WebViewer
+
+    slam = tiny_slam()
+    for idx in range(3):
+        slam.frontend.process_frame(idx)
+
+    viewer = WebViewer(slam, port=0).start()
+    base = f"http://127.0.0.1:{viewer.port}"
+    try:
+        for mode in ("color", "depth", "normal"):
+            code, body = get(base + f"/frame.png?mode={mode}&follow=1")
+            assert code == 200 and body[:4] == b"\x89PNG", (mode, body[:300])
+
+        code, body = get(
+            base + "/frame.png?mode=color&follow=0&yaw=0.7&pitch=-0.3"
+                   "&dist=1.5")
+        assert code == 200 and body[:4] == b"\x89PNG", body[:300]
     finally:
         viewer.stop()
 
