@@ -316,10 +316,12 @@ class BackEnd:
         # per batch alongside the window (mapping_steps n_planned)
         rows_const = all(r == randoms_per_iter[0]
                          for r in randoms_per_iter[1:])
-        n_planned = (self.window_size + 2
-                     if (rows_const and self.map_random_per_batch
-                         and self.mesh is None and not self.use_oracle)
-                     else None)
+        # mesh: plans shard over the (padded) frame axis, so ALL F slots
+        # must be planned; single-device: the window+2 prefix
+        n_planned = None
+        if rows_const and self.map_random_per_batch and not self.use_oracle:
+            n_planned = (self.F if self.mesh is not None
+                         else self.window_size + 2)
         out = mapping.mapping_steps(
             self.gm, self.gm_adam, self.store, window_idx, valid,
             opt_pose, opt_exp, self.pose_adam, self.cam, self.bg,

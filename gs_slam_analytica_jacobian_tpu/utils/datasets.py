@@ -516,6 +516,72 @@ class SyntheticDataset(MonocularDataset):
         return np.clip(img, 0, 1), depth, w2c
 
 
+class SyntheticStereoDataset(SyntheticDataset):
+    """Stereo rig over the synthetic room: renders a LEFT and a RIGHT
+    view separated by a known ``baseline`` along the camera x-axis and
+    recovers depth with the SAME SGBM pipeline the EuRoC stereo path
+    uses (StereoDataset.__getitem__ / reference dataset.py:376-383:
+    ``depth = fx*baseline / disparity``). This is the stereo SLAM mode's
+    end-to-end testbed in the zero-egress environment — the full chain
+    (rectified pair -> SGBM disparity -> depth -> tracking/mapping) runs
+    with ground-truth poses available for ATE.
+
+    The rig is born rectified (both cameras share intrinsics, offset is
+    pure x translation), so no undistortion maps are needed — that leg
+    is exercised by the EuRoC parser tests
+    (tests/test_datasets_parsers.py)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        assert cv2 is not None, "cv2 required for stereo"
+        ds = config["Dataset"]
+        assert self.scene == "room", \
+            "synthetic stereo needs the z-buffered room scene"
+        self.baseline = float(ds.get("baseline", 0.3))
+        self.num_disparities = int(ds.get("num_disparities", 32))
+        self.sgbm_block = int(ds.get("sgbm_block", 7))
+
+    def _right_w2c(self, w2c):
+        """w2c of the right camera: p_camR = p_camL - (b, 0, 0)."""
+        off = np.eye(4)
+        off[0, 3] = -self.baseline
+        return off @ w2c
+
+    def __getitem__(self, idx):
+        w2c = self.poses[idx]
+        if self._cache_frames and idx in self._frame_cache:
+            img, depth = self._frame_cache[idx]
+            return img, depth, w2c
+        img_l, _ = self._render_pair(w2c)
+        img_r, _ = self._render_pair(self._right_w2c(w2c))
+        to_u8 = lambda im: np.clip(np.round(  # noqa: E731
+            im.mean(axis=0) * 255.0), 0, 255).astype(np.uint8)
+        gray_l, gray_r = to_u8(img_l), to_u8(img_r)
+        stereo = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=self.num_disparities,
+            blockSize=self.sgbm_block)
+        stereo.setUniquenessRatio(40)
+        disparity = stereo.compute(gray_l, gray_r) / 16.0
+        disparity[disparity <= 0] = 1e10
+        depth = (self.fx * self.baseline) / disparity
+        depth[depth < 0] = 0
+        depth = depth.astype(np.float32)
+        if self._cache_frames:
+            self._frame_cache[idx] = (img_l, depth)
+        return img_l, depth, w2c
+
+    def _render_pair(self, w2c):
+        return self._render_room(w2c)
+
+    def raw_frame(self, idx):
+        img, depth, pose = self[idx]
+        rgb = np.clip(np.round(img.transpose(1, 2, 0) * 255.0),
+                      0, 255).astype(np.uint8)
+        d16 = np.clip(np.round(depth * self._RAW_DEPTH_SCALE),
+                      0, 65535).astype(np.uint16)
+        return rgb, d16, self._RAW_DEPTH_SCALE, pose
+
+
 class RealsenseDataset(BaseDataset):
     """Live Intel RealSense capture (reference dataset.py:429-519).
 
@@ -610,6 +676,8 @@ def load_dataset(config: dict):
     if t == "euroc":
         return EurocDataset(config)
     if t == "synthetic":
+        if config["Dataset"].get("sensor_type") == "stereo":
+            return SyntheticStereoDataset(config)
         return SyntheticDataset(config)
     if t == "realsense":
         return RealsenseDataset(config)
