@@ -224,6 +224,9 @@ def main():
             kw["curv"] = os.environ["BENCH_CURV"]
         if os.environ.get("BENCH_BF16") == "1":
             kw["kernel_bf16"] = True
+        if os.environ.get("BENCH_MXU") == "1":
+            # MXU falloff + log-space transmittance in the fwd kernel
+            kw["kernel_mxu"] = True
         if os.environ.get("BENCH_TILE16") == "1":
             kw["tile16"] = True
         if "BENCH_PAD" in os.environ:
@@ -263,6 +266,14 @@ def main():
     # mask. 0 disables.
     vis_cull = (int(os.environ.get("BENCH_VISCULL", "0"))
                 if tracker == "pyr" else 0)
+    # contribution threshold for the vis mask: n_touched >= Q pixels (at
+    # the nt_weight blend-weight rule). Q=1 is the r3 "visible at all"
+    # mask, which dropped 54% of gaussians but near-zero PAIRS (the
+    # planner's alpha/extent cull already starves invisible gaussians);
+    # Q>1 additionally drops LOW-CONTRIBUTION gaussians — sub-threshold
+    # back-layers and sub-pixel splats — which is what actually cuts the
+    # ~N_visible pair floor (PERF.md r4).
+    vis_q = int(os.environ.get("BENCH_VISQ", "1"))
 
     cap_eff = [PAIR_CAP]   # adaptive fine bucket (see frontend.track)
     lvl_caps = [None]      # per-level adaptive buckets (tuple) or None
@@ -332,7 +343,7 @@ def main():
                 H_carry = res[7]
             if vis_cull:
                 if vis_refresh:
-                    vis_mask, vis_age = res[5].n_touched > 0, 0
+                    vis_mask, vis_age = res[5].n_touched >= vis_q, 0
                     if collect:
                         vis_frac[0] = float(jnp.sum(vis_mask)) / N
                 else:
@@ -487,10 +498,13 @@ def main():
             "reuse_H": reuse_H,
             "plan_reuse": plan_reuse,
             "vis_cull": vis_cull,
+            "vis_q": vis_q,
             "vis_frac": (None if vis_frac[0] is None
                          else round(vis_frac[0], 4)),
             "plan_pad": kw.get("plan_pad"),
             "kernel_bf16": bool(kw.get("kernel_bf16", False)),
+            "kernel_mxu": bool(kw.get("kernel_mxu", False)),
+            "final_level": kw.get("final_level", 1),
             "rep_walls_s": [round(w, 3) for w in rep_walls],
             "warm_start": "const_vel" if const_vel else "prev",
             "pose_err_mean_m": round(float(np.mean(errs)), 6),

@@ -93,7 +93,43 @@ def _pixel_rows(ty, tx, W, H):
     return px, py, pix_in
 
 
-def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
+def _mxu_power(feat, cx_t, cy_t, P6):
+    """Gaussian falloff for a whole (K, P) chunk as ONE MXU matmul.
+
+    The quadratic form Q(m - p) expands in the pixel-coordinate basis
+    [px^2, px*py, py^2, px, py, 1] with per-gaussian coefficients, so
+    power = G6 @ P6 with G6 (K, 6) built from the conic + mean (a handful
+    of (K,1) VPU ops) and P6 (6, P) built ONCE per tile — the ~9 per-cell
+    VPU ops of the direct evaluation ride the (otherwise idle in this
+    elementwise mix) MXU instead. Coordinates are TILE-LOCAL: the raw
+    pixel basis at x~1200 would lose ~7 digits to cancellation
+    (px^2 ~ 1.4e6 against power ~ O(10)); locally |p| <= ~16+pad and
+    |m| is rect-bounded, so the bf16x3 matmul keeps power to ~1e-4 —
+    an alpha error ~1e-4 relative, far under the tracking loop's
+    sensitivity. Opt-in (tracking renders); parity/golden renders keep
+    the exact VPU path."""
+    mxl = feat[:, 0:1] - cx_t   # tile-local mean
+    myl = feat[:, 1:2] - cy_t
+    ca = feat[:, 2:3]
+    cb = feat[:, 3:4]
+    cc = feat[:, 4:5]
+    g3 = ca * mxl + cb * myl
+    g4 = cb * mxl + cc * myl
+    g5 = -0.5 * (ca * mxl * mxl + 2.0 * cb * mxl * myl + cc * myl * myl)
+    G6 = jnp.concatenate(
+        [-0.5 * ca, -cb, -0.5 * cc, g3, g4, g5], axis=1)      # (K, 6)
+    # HIGHEST precision: the default single-pass bf16 matmul would carry
+    # ~1e-2 absolute error into power (operands ~1e4 against power ~10)
+    power = jax.lax.dot_general(
+        G6, P6, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (K, P)
+    # clamp the (analytically non-positive) form like the bf16 path
+    return jnp.minimum(power, 0.0)
+
+
+def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False,
+                 mxu_ctx=None):
     """feat: (K, FEAT_DIM). Returns (alpha_unclamped, alpha, ok, dx, dy).
 
     bf16=True evaluates the Gaussian falloff (the dominant per-cell VPU
@@ -101,7 +137,10 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
     coordinates up to ~1200 would lose whole pixels in bf16), then cast —
     |dx| <~ 48 px carries ~0.4% relative error into alpha, which only the
     tracking-loop renders opt into (the IRLS weights and GN direction are
-    insensitive at that scale; final/golden renders stay f32)."""
+    insensitive at that scale; final/golden renders stay f32).
+
+    mxu_ctx=(cx_t, cy_t, P6) evaluates the falloff on the MXU instead
+    (_mxu_power) — same opt-in audience as bf16."""
     mx = feat[:, 0:1]
     my = feat[:, 1:2]
     ca = feat[:, 2:3]
@@ -115,7 +154,10 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
 
     dx = mx - px                                   # (K, P) f32
     dy = my - py
-    if bf16:
+    if mxu_ctx is not None:
+        power = _mxu_power(feat, *mxu_ctx)
+        a_un = opa * jnp.exp(power)
+    elif bf16:
         b = jnp.bfloat16
         dxb = dx.astype(b)
         dyb = dy.astype(b)
@@ -141,7 +183,7 @@ def _chunk_terms(feat, px, py, t16x, t16y, row_ok, bf16=False):
 
 
 def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False,
-                        nt_weight=False):
+                        nt_weight=False, mxu=False):
     """with_ntouch=False drops the per-chunk n_touched DMA round trip —
     the tracking inner loop never reads it (renderer_tiled.render
     need_n_touched=False).
@@ -151,7 +193,15 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False,
     (forward.cu:512-514) — the exact "contributed at all" visibility
     signal the tracking cull masks on (a back-layer splat behind an
     0.6-alpha surface carries up to 40% of a pixel's color yet fails the
-    T > 0.5 test). Opt-in: reference-parity renders keep the 0.5 rule."""
+    T > 0.5 test). Opt-in: reference-parity renders keep the 0.5 rule.
+
+    mxu=True rides the (otherwise idle in this elementwise mix) MXU for
+    the two largest VPU blocks of the per-cell budget: the Gaussian
+    falloff becomes one (K,6)@(6,P) matmul in the tile-local pixel basis
+    (_mxu_power), and the transmittance prefix-product becomes a
+    lower-triangular (K,K)@(K,P) matmul in log space (log1p/exp
+    roundtrip, ~1e-5 relative in T). Tracking-loop opt-in, like bf16;
+    parity/golden renders keep the exact VPU path."""
 
     def kernel(ranges_ref, feat_hbm, *rest):
         if with_ntouch:
@@ -171,6 +221,22 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False,
         t16x = jnp.floor(px / 16.0)
         t16y = jnp.floor(py / 16.0)
         pix_in_f = pix_in.astype(f32)
+
+        if mxu:
+            # per-tile constants for the MXU paths (built once per tile)
+            cx_t = (tx * TPX).astype(f32) + (TPX - 1) / 2.0
+            cy_t = (ty * TPY).astype(f32) + (TPY - 1) / 2.0
+            pxl = px - cx_t
+            pyl = py - cy_t
+            P6 = jnp.concatenate(
+                [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl,
+                 jnp.ones_like(pxl)], axis=0)                 # (6, P)
+            mxu_ctx = (cx_t, cy_t, P6)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+            L_tri = (jj <= ii).astype(f32)                    # (K, K)
+        else:
+            mxu_ctx = None
 
         n_chunks = (n + K - 1) // K
 
@@ -207,12 +273,24 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False,
             row_ok = rows < (n - c * K)
 
             _, alpha, ok, _, _ = _chunk_terms(
-                feat, px, py, t16x, t16y, row_ok, bf16)
+                feat, px, py, t16x, t16y, row_ok, bf16, mxu_ctx)
             live = ok & (done < 0.5)
             alpha_eff = jnp.where(live, alpha, 0.0)
-            cum_incl = _scan_mul(1.0 - alpha_eff)
-            T_excl = T_carry * _shift_down(cum_incl, 1.0)
-            T_incl = T_carry * cum_incl
+            if mxu:
+                # prefix product as a lower-triangular matmul in log
+                # space: log1p(0) = 0 for dead rows, so the cumsum is
+                # exactly the live-prefix log-product
+                loga = jnp.log1p(-alpha_eff)                  # (K, P)
+                cum = jax.lax.dot_general(
+                    L_tri, loga, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)      # (K, P)
+                T_incl = T_carry * jnp.exp(cum)
+                T_excl = T_incl / (1.0 - alpha_eff)
+            else:
+                cum_incl = _scan_mul(1.0 - alpha_eff)
+                T_excl = T_carry * _shift_down(cum_incl, 1.0)
+                T_incl = T_carry * cum_incl
             # T_incl is monotone along K, so (T_incl < eps) marks the
             # triggering gaussian and everything behind it.
             term = T_incl < T_EPS
@@ -291,7 +369,7 @@ def make_forward_kernel(n_tx, W, H, with_ntouch=True, bf16=False,
     return kernel
 
 
-def make_backward_kernel(n_tx, W, H, bf16=False):
+def make_backward_kernel(n_tx, W, H, bf16=False, mxu=False):
     def kernel(ranges_ref, feat_hbm, fwd_ref, cot_ref, dfz_ref, dfeat_hbm,
                feat_vmem, dgrad_vmem, sem_in, sem_out):
         del dfz_ref  # aliased into dfeat_hbm (zero-init)
@@ -305,6 +383,21 @@ def make_backward_kernel(n_tx, W, H, bf16=False):
         px, py, pix_in = _pixel_rows(ty, tx, W, H)
         t16x = jnp.floor(px / 16.0)
         t16y = jnp.floor(py / 16.0)
+
+        if mxu:
+            # MXU alpha evaluation, matching the forward's (_mxu_power);
+            # the gradient products keep the exact VPU path (they need
+            # dx/dy anyway)
+            cx_t = (tx * TPX).astype(f32) + (TPX - 1) / 2.0
+            cy_t = (ty * TPY).astype(f32) + (TPY - 1) / 2.0
+            pxl = px - cx_t
+            pyl = py - cy_t
+            P6 = jnp.concatenate(
+                [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl,
+                 jnp.ones_like(pxl)], axis=0)
+            mxu_ctx = (cx_t, cy_t, P6)
+        else:
+            mxu_ctx = None
 
         fwd = fwd_ref[:, :, :].reshape(6, P)
         T_final = fwd[4:5]
@@ -348,7 +441,7 @@ def make_backward_kernel(n_tx, W, H, bf16=False):
             row_ok = rows < (n - c * K)
 
             a_un, alpha, ok, dx, dy = _chunk_terms(
-                feat, px, py, t16x, t16y, row_ok, bf16)
+                feat, px, py, t16x, t16y, row_ok, bf16, mxu_ctx)
             live = ok & (done < 0.5)
             alpha_eff = jnp.where(live, alpha, 0.0)
             cum_incl = _scan_mul(1.0 - alpha_eff)
@@ -520,12 +613,13 @@ def disassemble_image(img, n_tx, n_ty):
 
 @functools.partial(
     jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret",
-                              "with_ntouch", "bf16", "nt_weight"))
+                              "with_ntouch", "bf16", "nt_weight", "mxu"))
 def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
-              with_ntouch=True, bf16=False, nt_weight=False):
+              with_ntouch=True, bf16=False, nt_weight=False, mxu=False):
     B_al = feat.shape[0]
     feat_v = jnp.transpose(feat)                  # (FEAT_DIM, B_al)
-    kernel = make_forward_kernel(n_tx, W, H, with_ntouch, bf16, nt_weight)
+    kernel = make_forward_kernel(n_tx, W, H, with_ntouch, bf16, nt_weight,
+                                 mxu)
     img_spec = pl.BlockSpec((6, 8, 128), lambda ty, tx, *_: (0, ty, tx),
                             memory_space=pltpu.VMEM)
     img_shape = jax.ShapeDtypeStruct((6, n_ty * 8, n_tx * 128), jnp.float32)
@@ -577,12 +671,12 @@ def _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret=False,
 
 @functools.partial(
     jax.jit, static_argnames=("n_tx", "n_ty", "W", "H", "interpret",
-                              "bf16"))
+                              "bf16", "mxu"))
 def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
-              interpret=False, bf16=False):
+              interpret=False, bf16=False, mxu=False):
     B_al = feat.shape[0]
     feat_v = jnp.transpose(feat)
-    kernel = make_backward_kernel(n_tx, W, H, bf16)
+    kernel = make_backward_kernel(n_tx, W, H, bf16, mxu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx),
@@ -614,10 +708,11 @@ def _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
     return jnp.transpose(dfeat_v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def composite32(feat, ranges, n_tx, n_ty, W, H,
                 interpret=False, with_ntouch=True,
-                bf16=False, nt_weight=False) -> Composite2Out:
+                bf16=False, nt_weight=False, mxu=False) -> Composite2Out:
     """Differentiable 32x32-tiled compositing.
 
     feat: (B_al, FEAT_DIM) aligned pair records; ranges: (n_tiles, 2) i32.
@@ -626,16 +721,16 @@ def composite32(feat, ranges, n_tx, n_ty, W, H,
     bfloat16 (see _chunk_terms) — opt-in for tracking-loop renders.
     """
     img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
-                            with_ntouch, bf16, nt_weight)
+                            with_ntouch, bf16, nt_weight, mxu)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     return Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                          final_T=asm[4], n_touched_pairs=ntouch)
 
 
 def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False,
-             with_ntouch=True, bf16=False, nt_weight=False):
+             with_ntouch=True, bf16=False, nt_weight=False, mxu=False):
     img, ntouch = _fwd_impl(feat, ranges, n_tx, n_ty, W, H, interpret,
-                            with_ntouch, bf16, nt_weight)
+                            with_ntouch, bf16, nt_weight, mxu)
     asm = assemble_image(img, n_tx, n_ty, W, H)
     out = Composite2Out(color_sum=asm[0:3], depth_sum=asm[3],
                         final_T=asm[4], n_touched_pairs=ntouch)
@@ -643,13 +738,13 @@ def _c32_fwd(feat, ranges, n_tx, n_ty, W, H, interpret=False,
 
 
 def _c32_bwd(n_tx, n_ty, W, H, interpret, with_ntouch, bf16, nt_weight,
-             res, cot):
+             mxu, res, cot):
     feat, ranges, fwd_img = res
     cot_asm = jnp.concatenate(
         [cot.color_sum, cot.depth_sum[None], cot.final_T[None]], axis=0)
     cot_img = disassemble_image(cot_asm, n_tx, n_ty)
     dfeat = _bwd_impl(feat, ranges, fwd_img, cot_img, n_tx, n_ty, W, H,
-                      interpret, bf16)
+                      interpret, bf16, mxu)
     return dfeat, None
 
 

@@ -96,7 +96,7 @@ def make_plan(
     jax.jit,
     static_argnames=("sh_degree", "fx", "fy", "width", "height",
                      "tanfovx", "tanfovy", "pair_capacity", "interpret",
-                     "need_n_touched", "bf16", "tile16", "nt_weight"))
+                     "need_n_touched", "bf16", "tile16", "nt_weight", "mxu"))
 def render(
     means3d: jnp.ndarray,
     cov6: jnp.ndarray,
@@ -119,6 +119,7 @@ def render(
     bf16: bool = False,
     tile16: bool = False,
     nt_weight: bool = False,
+    mxu: bool = False,
 ) -> RenderOutput:
     prep = preprocess(
         means3d, cov6, opacities, shs, sh_degree, w2c, proj, tau,
@@ -147,7 +148,7 @@ def render(
         table = pack_table(prep)
         feat = pair_gather(table, plan)
         out = composite32(feat, plan.ranges, n_tx, n_ty, width, height,
-                          interpret, need_n_touched, bf16, nt_weight)
+                          interpret, need_n_touched, bf16, nt_weight, mxu)
 
     color = out.color_sum + out.final_T[None] * bg[:, None, None]
     opacity = 1.0 - out.final_T

@@ -71,6 +71,7 @@ class BackEnd:
         # compile + first-dispatch the keyframe/idle mapping variants
         # right after map init, before the frame loop (prewarm_mapping)
         self.prewarm = bool(T.get("prewarm_mapping", False))
+        self.prewarm_wall_s = 0.0     # run-summary itemization
         self.kf_capacity = T.get("kf_capacity", 128)
         self.use_oracle = T.get("renderer", "tiled") == "oracle"
         self.tile16 = bool(T.get("tile16", False))
@@ -583,8 +584,9 @@ class BackEnd:
              self.initialized, self._key, py_state) = snap
             self._py_rng.setstate(py_state)
         _PREWARMED.add(key)
+        self.prewarm_wall_s = _time.time() - t0
         Log(f"prewarmed mapping variants ({n} throwaway iters) in "
-            f"{_time.time() - t0:.1f}s", tag="Backend")
+            f"{self.prewarm_wall_s:.1f}s", tag="Backend")
 
     def handle_keyframe(self, frame_idx, window_uids):
         """reference slam_backend.py:409-475."""

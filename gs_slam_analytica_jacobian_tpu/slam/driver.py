@@ -148,6 +148,15 @@ class SLAM:
             plan_cache=dict(self.backend.plan_stats),
             # frames tracked on a reused (cross-frame) pair plan
             track_plan_reuse=self.frontend._plan_reuse_count,
+            # one-time pre-frame-loop costs (VERDICT r3 #3 itemization):
+            # tracker-variant walk + mapping-variant walk wall seconds
+            prewarm=dict(
+                tracking_s=round(
+                    getattr(self.frontend, "prewarm_wall_s", 0.0), 2),
+                tracking_calls=getattr(self.frontend, "prewarm_calls", 0),
+                mapping_s=round(
+                    getattr(self.backend, "prewarm_wall_s", 0.0), 2),
+            ),
         )
         flog = self.frontend.frame_log
         if flog:

@@ -200,6 +200,9 @@ class FrontEnd:
         # bf16 kernels measured numerically fine but not faster as
         # implemented (PERF.md) — opt-in
         self.kernel_bf16 = bool(T.get("kernel_bf16", False))
+        # MXU falloff + log-space transmittance in the fwd kernel
+        # (tile_kernel2 mxu): ~1e-4-relative alpha, tracking-only opt-in
+        self.kernel_mxu = bool(T.get("kernel_mxu", False))
         # cross-frame pair-plan reuse: hand the previous frame's per-level
         # plans back to the tracker (plan_in) and rebuild every N frames.
         # 0 disables. Reuse is gated on the measured per-frame motion
@@ -221,6 +224,12 @@ class FrontEnd:
         # mask from its full final render (a stale mask can only shrink:
         # a masked-out gaussian reports n_touched 0 forever). 0 disables.
         self.track_vis_cull = int(T.get("track_vis_cull", 0))
+        # contribution threshold for the tracking vis mask: gaussians
+        # with n_touched < this many pixels (blend-weight rule) are
+        # dropped from tracking pair plans until the next refresh. 1 =
+        # visible-at-all (r3 behavior); higher values cut the
+        # ~N_visible pair floor at a small, bounded image change.
+        self.track_vis_min_touch = int(T.get("track_vis_min_touch", 1))
         self._vis_mask = None
         self._vis_mask_age = 0
         self._vis_cull_count = 0      # telemetry
@@ -233,6 +242,8 @@ class FrontEnd:
         # init, before the frame-loop clock (see prewarm_tracking)
         self.prewarm = bool(T.get("prewarm_tracking", False))
         self._prewarmed = False
+        self.prewarm_wall_s = 0.0     # run-summary itemization
+        self.prewarm_calls = 0
         self.dataset_type = config["Dataset"]["type"]
         res = config.get("Results", {})
         self.save_dir = None               # set by the SLAM driver
@@ -492,8 +503,10 @@ class FrontEnd:
                 self.link.want_device.clear()
             self._prewarmed = True
         _PREWARMED.add(pw_key)
+        self.prewarm_wall_s = _time.time() - t0
+        self.prewarm_calls = n_calls
         Log(f"prewarmed {n_calls} tracker variants in "
-            f"{_time.time() - t0:.1f}s", tag="Frontend")
+            f"{self.prewarm_wall_s:.1f}s", tag="Frontend")
 
     # ------------------------------------------------------------------
     def _warm_start(self, idx: int):
@@ -593,6 +606,7 @@ class FrontEnd:
                       curv=self.pyr_curv, probe_levels=self.pyr_probes,
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
+                      kernel_mxu=(self.kernel_mxu and not self.use_oracle),
                       pair_capacity_ceiling=self.pair_capacity,
                       level_subset=(tuple(subsets)
                                     if self.pyr_subset is not None
@@ -776,7 +790,8 @@ class FrontEnd:
             elif vis_refresh:
                 # full (unmasked) final render: adopt its contribution
                 # set as the tracking mask for the next window of frames
-                self._vis_mask = out.n_touched > 0
+                self._vis_mask = (out.n_touched
+                                  >= self.track_vis_min_touch)
                 self._vis_mask_age = 0
             else:
                 self._vis_mask_age += 1

@@ -35,6 +35,7 @@ def render(
     bf16: bool = False,
     tile16: bool = False,
     nt_weight: bool = False,
+    mxu: bool = False,
 ) -> RenderOutput:
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -59,7 +60,7 @@ def render(
     return renderer_tiled.render(
         **kwargs, pair_capacity=pair_capacity, interpret=interpret,
         plan=plan, need_n_touched=need_n_touched, bf16=bf16, tile16=tile16,
-        nt_weight=nt_weight)
+        nt_weight=nt_weight, mxu=mxu)
 
 
 def mark_visible(means3d: jnp.ndarray, w2c: jnp.ndarray,

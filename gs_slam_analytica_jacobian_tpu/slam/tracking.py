@@ -451,6 +451,7 @@ def _gn_level(
     H_frozen=None,
     curv: str = "fd",
     bf16: bool = False,
+    mxu: bool = False,
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
     sigma_in=None,
@@ -555,7 +556,7 @@ def _gn_level(
                       interpret=interpret, use_oracle=use_oracle,
                       plan=plan if plan_ is None else plan_,
                       need_n_touched=False, bf16=bf16,
-                      tile16=tile16)
+                      tile16=tile16, mxu=mxu)
 
     def loss_fn(tau, exp_a, exp_b, R_, t_, plan_=None):
         out = render_at(tau, R_, t_, plan_)
@@ -841,7 +842,7 @@ def _strip_J(entry):
 @functools.partial(
     jax.jit,
     static_argnames=("monocular", "levels", "level_iters", "probe_levels",
-                     "curv", "kernel_bf16", "sigma0",
+                     "curv", "kernel_bf16", "kernel_mxu", "sigma0",
                      "sigma_decay", "step_cap", "level_exact", "tile16",
                      "plan_pad", "pair_capacity", "pair_capacity_ceiling",
                      "level_caps", "level_subset", "interpret",
@@ -869,6 +870,7 @@ def track_frame_pyr(
     probe_levels: str = "coarse",
     curv: str = "fd",
     kernel_bf16: bool = False,
+    kernel_mxu: bool = False,
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
     step_cap: float = 0.05,
@@ -991,7 +993,7 @@ def track_frame_pyr(
             interpret, use_oracle, fd_eps, lm_lambda,
             radius_pad=max(2.0, plan_pad / s),
             H_frozen=H_frozen, curv=curv,
-            bf16=kernel_bf16, sigma0=sigma0,
+            bf16=kernel_bf16, mxu=kernel_mxu, sigma0=sigma0,
             sigma_decay=sigma_decay, sigma_in=sigma_prev,
             step_cap=step_cap, exact_iters=exact_l, tile16=tile16,
             subset_frac=(1.0 if level_subset is None

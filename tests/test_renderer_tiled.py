@@ -123,3 +123,53 @@ def test_tile16_matches_oracle_gradients(rng):
         np.testing.assert_allclose(
             b, a, rtol=2e-3, atol=2e-5 + 2e-3 * np.abs(a).max(),
             err_msg=name)
+
+
+def test_mxu_mode_matches_standard(rng):
+    """MXU kernel mode (tile_kernel2 mxu: falloff as a (K,6)@(6,P)
+    matmul in the tile-local pixel basis + log-space transmittance):
+    tracking-only opt-in, expected to agree with the exact VPU path to
+    ~1e-4 in alpha (bf16x-pass matmul + log/exp roundtrip) and a few
+    1e-5 relative in dL/dtau."""
+    sc = make_scene(rng, n=40, W=160, H=64)
+    bg = np.array([0.05, 0.1, 0.15], np.float32)
+
+    def rr(mxu):
+        return renderer_tiled.render(
+            jnp.asarray(sc["means"]),
+            gm.build_cov3d(jnp.asarray(sc["scales"]),
+                           jnp.asarray(sc["quats"])),
+            jnp.asarray(sc["opac"]), jnp.asarray(sc["shs"]), 3,
+            jnp.asarray(sc["w2c"]), jnp.asarray(sc["proj"]), jnp.zeros(6),
+            sc["fx"], sc["fy"], sc["W"], sc["H"],
+            sc["tanfovx"], sc["tanfovy"],
+            jnp.asarray(bg), pair_capacity=8192, interpret=True, mxu=mxu,
+            need_n_touched=False)
+
+    std, mxu = rr(False), rr(True)
+    np.testing.assert_allclose(np.asarray(mxu.color), np.asarray(std.color),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mxu.depth), np.asarray(std.depth),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(mxu.opacity),
+                               np.asarray(std.opacity), atol=1e-3)
+
+    def loss(tau, use_mxu):
+        out = renderer_tiled.render(
+            jnp.asarray(sc["means"]),
+            gm.build_cov3d(jnp.asarray(sc["scales"]),
+                           jnp.asarray(sc["quats"])),
+            jnp.asarray(sc["opac"]), jnp.asarray(sc["shs"]), 3,
+            jnp.asarray(sc["w2c"]), jnp.asarray(sc["proj"]), tau,
+            sc["fx"], sc["fy"], sc["W"], sc["H"],
+            sc["tanfovx"], sc["tanfovy"],
+            jnp.asarray(bg), pair_capacity=8192, interpret=True,
+            mxu=use_mxu, need_n_touched=False)
+        return (jnp.mean(jnp.abs(out.color))
+                + 0.1 * jnp.mean(jnp.abs(out.depth)))
+
+    g0 = jax.grad(lambda t: loss(t, False))(jnp.zeros(6))
+    g1 = jax.grad(lambda t: loss(t, True))(jnp.zeros(6))
+    rel = (np.abs(np.asarray(g0 - g1)).max()
+           / (np.abs(np.asarray(g0)).max() + 1e-12))
+    assert rel < 2e-3, rel
