@@ -82,8 +82,17 @@ def clamp_view_point(p_view: jnp.ndarray, tanfovx: float, tanfovy: float):
 
 
 def compute_cov2d(p_view: jnp.ndarray, cov6: jnp.ndarray, W_rot: jnp.ndarray,
-                  fx: float, fy: float, tanfovx: float, tanfovy: float):
+                  fx: float, fy: float, tanfovx: float, tanfovy: float,
+                  low_pass: float = 0.3):
     """EWA 2D covariance (reference forward.cu:76-115).
+
+    ``low_pass``: the screen-space dilation variance (reference hardcodes
+    0.3 px^2). Pyramid tracking can scale it per level to match the
+    effective blur of a pooled ground-truth image (tracking.py
+    _level_low_pass) — at the default the s=2 render is ~2x blurrier
+    than 2x2-avg-pooled full-res gt, which biases the coarse-level L1
+    photometric fixed point (measured 6 mm on the bench room, PERF.md
+    r4).
 
     Args:
         p_view: (..., 3) camera-space means (w2c applied, BEFORE clamping).
@@ -112,9 +121,9 @@ def compute_cov2d(p_view: jnp.ndarray, cov6: jnp.ndarray, W_rot: jnp.ndarray,
     V = cov3d_to_matrix(cov6)                       # (..., 3, 3)
     VT0 = jnp.einsum("...ij,...j->...i", V, T0)
     VT1 = jnp.einsum("...ij,...j->...i", V, T1)
-    a = jnp.sum(T0 * VT0, axis=-1) + 0.3
+    a = jnp.sum(T0 * VT0, axis=-1) + low_pass
     b = jnp.sum(T0 * VT1, axis=-1)
-    c = jnp.sum(T1 * VT1, axis=-1) + 0.3
+    c = jnp.sum(T1 * VT1, axis=-1) + low_pass
     return a, b, c
 
 
@@ -148,6 +157,7 @@ def preprocess(
     tanfovx: float, tanfovy: float,
     colors_precomp: Optional[jnp.ndarray] = None,
     mean2d_offset: Optional[jnp.ndarray] = None,
+    low_pass: float = 0.3,
 ) -> Preprocessed:
     """The rasterizer preprocess stage (forward.cu:157-401), vectorized.
 
@@ -180,7 +190,8 @@ def preprocess(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
-    a, b, c = compute_cov2d(p_view, cov6, R_cw, fx, fy, tanfovx, tanfovy)
+    a, b, c = compute_cov2d(p_view, cov6, R_cw, fx, fy, tanfovx,
+                            tanfovy, low_pass)
 
     det = a * c - b * b
     det_valid = det != 0.0

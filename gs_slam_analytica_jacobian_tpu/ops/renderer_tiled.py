@@ -96,7 +96,8 @@ def make_plan(
     jax.jit,
     static_argnames=("sh_degree", "fx", "fy", "width", "height",
                      "tanfovx", "tanfovy", "pair_capacity", "interpret",
-                     "need_n_touched", "bf16", "tile16", "nt_weight", "mxu"))
+                     "need_n_touched", "bf16", "tile16", "nt_weight", "mxu",
+                     "low_pass"))
 def render(
     means3d: jnp.ndarray,
     cov6: jnp.ndarray,
@@ -120,11 +121,13 @@ def render(
     tile16: bool = False,
     nt_weight: bool = False,
     mxu: bool = False,
+    low_pass: float = 0.3,
 ) -> RenderOutput:
     prep = preprocess(
         means3d, cov6, opacities, shs, sh_degree, w2c, proj, tau,
         fx, fy, width, height, tanfovx, tanfovy,
-        colors_precomp=colors_precomp, mean2d_offset=mean2d_offset)
+        colors_precomp=colors_precomp, mean2d_offset=mean2d_offset,
+        low_pass=low_pass)
     if active is not None:
         prep = prep._replace(
             valid=prep.valid & active,

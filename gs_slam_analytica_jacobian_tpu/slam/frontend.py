@@ -166,6 +166,14 @@ class FrontEnd:
         self._easy_streak = 0
         self._easy_flow_px = float(T.get("pyr_easy_flow_px", 2.0))
         self.pyr_probes = T.get("pyr_probes", "coarse")
+        # match the coarse-level render's EWA low-pass to the pooled-gt
+        # blur (tracking.track_frame_pyr match_blur): the default +0.3
+        # px^2 at level intrinsics is ~2x the pooled gt's blur at s=2,
+        # which biases the coarse photometric fixed point AND slows
+        # convergence (measured: 6.1 -> 4.3 mm s2-only bias and 5.5 ->
+        # 3.75 iters on the bench room, PERF.md r4). Full-res levels are
+        # unaffected.
+        self.pyr_match_blur = bool(T.get("pyr_match_blur", True))
         # resolution (decimation) of the per-frame final keyframing
         # render. 2 lets a fine-at-s2 schedule keep the WHOLE per-frame
         # loop at half resolution (the render's consumers — n_touched
@@ -607,6 +615,7 @@ class FrontEnd:
                       kernel_bf16=(self.kernel_bf16 and not self.interpret
                                    and not self.use_oracle),
                       kernel_mxu=(self.kernel_mxu and not self.use_oracle),
+                      match_blur=self.pyr_match_blur,
                       pair_capacity_ceiling=self.pair_capacity,
                       level_subset=(tuple(subsets)
                                     if self.pyr_subset is not None

@@ -36,6 +36,7 @@ def render(
     tile16: bool = False,
     nt_weight: bool = False,
     mxu: bool = False,
+    low_pass: float = 0.3,
 ) -> RenderOutput:
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -60,7 +61,7 @@ def render(
     return renderer_tiled.render(
         **kwargs, pair_capacity=pair_capacity, interpret=interpret,
         plan=plan, need_n_touched=need_n_touched, bf16=bf16, tile16=tile16,
-        nt_weight=nt_weight, mxu=mxu)
+        nt_weight=nt_weight, mxu=mxu, low_pass=low_pass)
 
 
 def mark_visible(means3d: jnp.ndarray, w2c: jnp.ndarray,

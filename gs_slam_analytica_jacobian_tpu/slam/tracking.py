@@ -452,6 +452,7 @@ def _gn_level(
     curv: str = "fd",
     bf16: bool = False,
     mxu: bool = False,
+    low_pass: float = 0.3,
     sigma0: float = 0.01,
     sigma_decay: float = 0.8,
     sigma_in=None,
@@ -556,7 +557,7 @@ def _gn_level(
                       interpret=interpret, use_oracle=use_oracle,
                       plan=plan if plan_ is None else plan_,
                       need_n_touched=False, bf16=bf16,
-                      tile16=tile16, mxu=mxu)
+                      tile16=tile16, mxu=mxu, low_pass=low_pass)
 
     def loss_fn(tau, exp_a, exp_b, R_, t_, plan_=None):
         out = render_at(tau, R_, t_, plan_)
@@ -846,7 +847,8 @@ def _strip_J(entry):
                      "sigma_decay", "step_cap", "level_exact", "tile16",
                      "plan_pad", "pair_capacity", "pair_capacity_ceiling",
                      "level_caps", "level_subset", "interpret",
-                     "use_oracle", "nt_weight", "final_level"))
+                     "use_oracle", "nt_weight", "final_level",
+                     "match_blur"))
 def track_frame_pyr(
     gm: GaussianMap,
     cam_template: Camera,
@@ -885,6 +887,7 @@ def track_frame_pyr(
     track_mask=None,
     nt_weight: bool = False,
     final_level: int = 1,
+    match_blur: bool = False,
 ):
     """Coarse-to-fine IRLS Gauss-Newton tracker.
 
@@ -987,13 +990,22 @@ def track_frame_pyr(
             # their own resolution
             probes_here = s > 1 or H_prev is None or need_J
             H_frozen = None if probes_here else _strip_J(H_prev)
+        # ``match_blur``: scale the EWA low-pass so the level render's
+        # blur matches the avg-pooled gt's — the gt formation is
+        # (full-res image incl. its own ~0.3 px^2 dilation) box-filtered
+        # by s x s (variance (s^2-1)/12), all divided by s^2 into level
+        # pixels; the default +0.3 at level intrinsics is ~2x blurrier
+        # at s=2, which biases the coarse photometric fixed point
+        # (measured 6 mm on the bench room at s2-only, PERF.md r4)
+        lp_l = ((0.3 + (s * s - 1) / 12.0) / (s * s)
+                if match_blur and s > 1 else 0.3)
         R, t, ea, eb, itr_l, H_prev, plan_l, sigma_prev = _gn_level(
             gm, cam_l, R, t, ea, eb, gt_i, gt_d, gm_l, bg,
             rgb_boundary_threshold, alpha, monocular, iters_l, cap_l,
             interpret, use_oracle, fd_eps, lm_lambda,
             radius_pad=max(2.0, plan_pad / s),
             H_frozen=H_frozen, curv=curv,
-            bf16=kernel_bf16, mxu=kernel_mxu, sigma0=sigma0,
+            bf16=kernel_bf16, mxu=kernel_mxu, low_pass=lp_l, sigma0=sigma0,
             sigma_decay=sigma_decay, sigma_in=sigma_prev,
             step_cap=step_cap, exact_iters=exact_l, tile16=tile16,
             subset_frac=(1.0 if level_subset is None
