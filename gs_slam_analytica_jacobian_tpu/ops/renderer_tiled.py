@@ -84,9 +84,16 @@ def make_plan(
         prep = prep._replace(valid=prep.valid & active)
     if tile16:
         n_gx, n_gy = grid_dims16(width, height)
+        # conic_cull off: the v3 kernel's packed 2x2-subtile pixel layout
+        # does not map tile t to the plain [tx*16, tx*16+16) box the cull
+        # tests against — measured on-chip as 66 of 71k gaussians losing
+        # their n_touched contributions (the 32x32 path is verified
+        # touch- and color-exact under the cull on the same scene).
+        # tile16 is the documented dead-end alternative kernel, so it
+        # keeps the uncalled plan rather than a layout-aware cull.
         return plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy, pair_capacity,
                           chunk=K, radius_scale=radius_scale,
-                          radius_pad=radius_pad)
+                          radius_pad=radius_pad, conic_cull=False)
     n_tx, n_ty = grid_dims(width, height)
     return plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity, chunk=K,
                       radius_scale=radius_scale, radius_pad=radius_pad)
@@ -137,8 +144,9 @@ def render(
     if tile16:
         n_gx, n_gy = grid_dims16(width, height)
         if plan is None:
+            # conic_cull off for tile16 — see make_plan
             plan = plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy,
-                              pair_capacity, chunk=K)
+                              pair_capacity, chunk=K, conic_cull=False)
         table = pack_table(prep)
         feat = pair_gather(table, plan)
         out = composite16(feat, plan.ranges, n_gx, n_gy, width, height,

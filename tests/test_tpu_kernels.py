@@ -266,4 +266,68 @@ def test_tpu_production_scale_smoke():
 
         g = jax.grad(loss)(gmp.xyz)
         assert np.all(np.isfinite(np.asarray(g))), t16
-    assert touched[False] == touched[True], touched
+    # The two kernels' touched sets agree to ulp sensitivity, not
+    # bit-exactly: n_touched thresholds at test_T > 0.5, and the 16px and
+    # 32px pipelines accumulate T in different codegen orders, so pixels
+    # whose T sits within f32 ulps of 0.5 flip independently (r3 measured
+    # exact equality at 71,370; an intermediate compiler drift moved the
+    # two kernels to 71,396/71,330 with NO source change to either —
+    # 0.09% apart). 0.5% bounds genuine semantic divergence.
+    assert abs(touched[False] - touched[True]) < 0.005 * touched[False], \
+        touched
+
+
+def test_tpu_renderer_backward_vs_analytic_lab():
+    """dL/dtau closure ON THE CHIP (VERDICT r3 #9): the production Pallas
+    renderer's autodiff pose gradient on the 15-gaussian Jacobian fixture
+    against the analytic-lab 4-path assembly (ops/jacobians.py Eq.3/Eq.4
+    + depth + SH paths — the repo's namesake math, reference
+    Loss_Derivative_script_compare.py:1678-1706). The lab composites
+    exactly while the kernel carries the CUDA quantization semantics
+    (1/255 alpha skip, 0.99 cap, T<1e-4 termination), so the gate is
+    directional + few-percent magnitude (CPU-interpret calibration:
+    max rel 2.0%, cosine 0.99997)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from jacobian_test import load_fixture, run as lab_run
+    from gs_slam_analytica_jacobian_tpu.ops import camera_math as cm
+    from gs_slam_analytica_jacobian_tpu.ops import gaussian_math as gm
+    from gs_slam_analytica_jacobian_tpu.ops import renderer_tiled
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    fix = load_fixture(os.path.join(fixdir, "jacobian_fixture.npz"))
+    analytic = lab_run(fix, mode="exact", verbose=False)["total"]
+
+    means = jnp.asarray(fix["xyz"])
+    opac = jax.nn.sigmoid(jnp.asarray(fix["opacity"]))[:, 0]
+    shs = jnp.asarray(fix["features"])
+    w2c = jnp.asarray(np.asarray(fix["w2c_gt"], np.float32)
+                      @ np.asarray(fix["T_noise"], np.float32))
+    gt_color = jnp.asarray(fix["gt_color"])
+    gt_depth = jnp.asarray(fix["gt_depth"])
+    mask = jnp.asarray(fix["mask"])
+    fx, fy, cx, cy = [float(fix[k]) for k in ("fx", "fy", "cx", "cy")]
+    H, W = gt_depth.shape
+    proj = jnp.asarray(
+        cm.projection_matrix(0.01, 100.0, cx, cy, fx, fy, W, H))
+    cov6 = gm.build_cov3d(jnp.exp(jnp.asarray(fix["scaling"])),
+                          jnp.asarray(fix["rotation"]))
+
+    def loss(tau):
+        out = renderer_tiled.render(
+            means, cov6, opac, shs, 3, w2c, proj, tau,
+            fx, fy, W, H, W / (2 * fx), H / (2 * fy), jnp.zeros(3),
+            pair_capacity=1 << 14, need_n_touched=False)
+        C = jnp.transpose(out.color, (1, 2, 0))
+        D = out.depth[0]
+        return (jnp.sum(jnp.abs(C - gt_color) * mask[..., None])
+                + jnp.sum(jnp.abs(D - gt_depth) * (mask & (gt_depth > 0))))
+
+    g = np.asarray(jax.grad(loss)(jnp.zeros(6)))
+    assert np.all(np.isfinite(g)), g
+    rel = np.abs(g - analytic).max() / (np.abs(analytic).max() + 1e-12)
+    cos = float(g @ analytic
+                / (np.linalg.norm(g) * np.linalg.norm(analytic) + 1e-12))
+    assert rel < 0.05, (g, analytic, rel)
+    assert cos > 0.999, cos
