@@ -179,8 +179,16 @@ def plan_pairs(
         qmin = jnp.where(inside, 0.0, qmin)
         # keep iff peak alpha = opa * exp(-qmin/2) could reach the
         # kernel's skip threshold; the 0.5 slack absorbs the conic drift
-        # the box pad cannot (the pad budgets mean2d motion only)
-        qthr = 2.0 * jnp.log(jnp.maximum(opa, 1e-12) * (2.0 * 255.0))
+        # the box pad cannot (the pad budgets mean2d motion only).
+        # Opacity itself also drifts under plan reuse: mapping reuses a
+        # plan for up to plan_reuse_iters=16 Adam steps at
+        # opacity_lr=0.05, so a logit can move ~0.8 and a small (e.g.
+        # freshly densified) opacity can grow ~e^0.8 ~ 2.2x before the
+        # rebuild — budget that growth here so pairs culled at build
+        # time cannot become visible (and silently gradient-dropped)
+        # mid-reuse. 2.23 = exp(0.05 * 16)*1.003 rounded up.
+        opa_eff = jnp.minimum(opa * 2.23, 1.0)
+        qthr = 2.0 * jnp.log(jnp.maximum(opa_eff, 1e-12) * (2.0 * 255.0))
         tile_id = jnp.where(pair_ok & (qmin > qthr), n_tiles, tile_id)
 
     pair_live = tile_id < n_tiles

@@ -180,6 +180,12 @@ class FrontEnd:
         # visibility sets, median depth — are resolution-insensitive);
         # keyframe creation re-renders full-res for depth seeding.
         self.pyr_final_level = int(T.get("pyr_final_level", 1))
+        if self.use_oracle:
+            # the oracle tracker path has no reduced-resolution final
+            # render (and the mono keyframe re-render below is tiled-
+            # renderer only) — pin full res so out.depth always matches
+            # the frame's gt shapes
+            self.pyr_final_level = 1
         # per-level IRLS tile-subset fractions (sparse direct alignment:
         # rank 32x32 tiles by grad-mask mass, track on the top fraction;
         # exact/polish renders always use every tile). Aligned with
@@ -620,9 +626,13 @@ class FrontEnd:
                       level_subset=(tuple(subsets)
                                     if self.pyr_subset is not None
                                     else None),
-                      final_level=(self.pyr_final_level
-                                   if levels[-1] >= self.pyr_final_level
-                                   else levels[-1]),
+                      # honored even when the schedule tracks FINER than
+                      # pyr_final_level (e.g. pyr_iters ending at s=1
+                      # with pyr_final_level=2): the keyframing render's
+                      # consumers are resolution-insensitive, and the
+                      # tracker builds a fresh level plan when the final
+                      # level was not tracked (tracking.py plan_s1)
+                      final_level=self.pyr_final_level,
                       H_in=self._H_cache if reuse_H else None)
         adaptive = (self.cap_adaptive and self.tracker == "pyr"
                     and not self.use_oracle)
@@ -1136,10 +1146,16 @@ class FrontEnd:
                 Log("Keyframes lack sufficient overlap, resetting",
                     tag="Frontend")
                 return dict(keyframe=False, reset=True, iters=iters)
-            if self.pyr_final_level != 1 and not self.use_oracle:
+            if not self.monocular:
+                # RGBD seeding uses gt depth only (add_new_keyframe
+                # ignores rendered depth/opacity) — no re-render needed
+                depth_map = self.add_new_keyframe(idx)
+            elif self.pyr_final_level != 1:
                 # the per-frame final render ran at reduced resolution
-                # (pyr_final_level); depth seeding is per-pixel, so
-                # re-render this keyframe full-res at the polished pose
+                # (pyr_final_level); monocular depth seeding is
+                # per-pixel, so re-render this keyframe full-res at the
+                # polished pose (use_oracle pins pyr_final_level to 1
+                # in __init__, so this is always the tiled renderer)
                 from .render_api import render as _render
                 out_full = _render(
                     self.gm, self.cam.replace(

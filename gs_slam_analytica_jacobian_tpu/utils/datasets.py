@@ -308,9 +308,12 @@ class StereoDataset(BaseDataset):
             minDisparity=0, numDisparities=64, blockSize=20)
         stereo.setUniquenessRatio(40)
         disparity = stereo.compute(image, image_r) / 16.0
-        disparity[disparity == 0] = 1e10
-        depth = 47.90639384423901 / disparity   # baseline * fx (ORB-SLAM2)
-        depth[depth < 0] = 0
+        invalid = disparity <= 0
+        # baseline * fx (ORB-SLAM2 EuRoC constant, reference
+        # dataset.py:376-383 — which maps invalid disparity through a
+        # 1e10 sentinel, leaving ~5e-9 positive depths; zero explicitly)
+        depth = 47.90639384423901 / np.where(invalid, 1.0, disparity)
+        depth[invalid] = 0
         image = cv2.cvtColor(image, cv2.COLOR_GRAY2RGB)
         image = np.clip(image / 255.0, 0, 1).astype(np.float32)
         return image.transpose(2, 0, 1), depth.astype(np.float32), \
@@ -562,9 +565,13 @@ class SyntheticStereoDataset(SyntheticDataset):
             blockSize=self.sgbm_block)
         stereo.setUniquenessRatio(40)
         disparity = stereo.compute(gray_l, gray_r) / 16.0
-        disparity[disparity <= 0] = 1e10
-        depth = (self.fx * self.baseline) / disparity
-        depth[depth < 0] = 0
+        invalid = disparity <= 0
+        depth = (self.fx * self.baseline) / np.where(invalid, 1.0, disparity)
+        # invalid-disparity pixels get depth 0 EXPLICITLY: the 1e10
+        # sentinel division leaves tiny positive depths (~2e-8) that pass
+        # seeding's depth>0 validity and unproject gaussians at the
+        # camera center (r4 advisor finding)
+        depth[invalid] = 0.0
         depth = depth.astype(np.float32)
         if self._cache_frames:
             self._frame_cache[idx] = (img_l, depth)

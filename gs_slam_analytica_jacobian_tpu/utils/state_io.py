@@ -66,8 +66,21 @@ def load_state(path: str) -> Tuple[GaussianMap, AdamState, KFStore,
          if k.startswith("adam.v.")}
     gm_adam = AdamState(m=m, v=v, step=jnp.asarray(arrays["adam.step"]))
 
-    store = KFStore(**{k[6:]: jnp.asarray(a) for k, a in arrays.items()
-                       if k.startswith("store.")})
+    st = {k[6:]: a for k, a in arrays.items() if k.startswith("store.")}
+    if "depth_scale" not in st:
+        # checkpoint format v1 (pre-r4): f32 images/depths, no per-slot
+        # depth scale. Quantize through the KFStore.add semantics so old
+        # checkpoints keep loading (u8 RGB; u16 depth at dmax/65535).
+        img = np.clip(np.asarray(st["gt_image"], np.float32), 0.0, 1.0)
+        st["gt_image"] = np.round(img * 255.0).astype(np.uint8)
+        dep = np.maximum(np.asarray(st["gt_depth"], np.float32), 0.0)
+        dmax = dep.reshape(dep.shape[0], -1).max(axis=1)
+        scale = np.where(dmax > 0, dmax / 65535.0, 0.0).astype(np.float32)
+        st["gt_depth"] = np.round(
+            dep / np.maximum(scale, 1e-12)[:, None, None, None]
+        ).astype(np.uint16)
+        st["depth_scale"] = scale
+    store = KFStore(**{k: jnp.asarray(a) for k, a in st.items()})
     pose_adam = PoseAdamState(
         m=jnp.asarray(arrays["pose_adam.m"]),
         v=jnp.asarray(arrays["pose_adam.v"]),

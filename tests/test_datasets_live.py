@@ -158,6 +158,28 @@ def test_state_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(pose2.v),
                                   np.asarray(pose_adam.v))
 
+    # checkpoint format v1 (pre-r4 f32 store, no depth_scale) loads
+    # through the quantizing shim (r4 advisor finding)
+    with np.load(path) as z:
+        legacy = {k: z[k] for k in z.files}
+    legacy["store.gt_image"] = (
+        legacy["store.gt_image"].astype(np.float32) / 255.0)
+    legacy["store.gt_depth"] = (
+        legacy["store.gt_depth"].astype(np.float32)
+        * np.asarray(store.depth_scale)[:, None, None, None])
+    del legacy["store.depth_scale"]
+    legacy_path = str(tmp_path / "state_v1.npz")
+    np.savez_compressed(legacy_path, **legacy)
+    _, _, store_v1, _, _ = state_io.load_state(legacy_path)
+    np.testing.assert_array_equal(np.asarray(store_v1.gt_image),
+                                  np.asarray(store.gt_image))
+    np.testing.assert_allclose(
+        np.asarray(store_v1.gt_depth).astype(np.float32)
+        * np.asarray(store_v1.depth_scale)[:, None, None, None],
+        np.asarray(store.gt_depth).astype(np.float32)
+        * np.asarray(store.depth_scale)[:, None, None, None],
+        atol=1e-4)
+
 
 def test_synthetic_room_scene():
     """The z-buffered room variant: full coverage, indoor depth range,
