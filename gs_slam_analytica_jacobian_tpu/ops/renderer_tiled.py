@@ -31,7 +31,7 @@ from .binning2 import FEAT_DIM, PairPlan, plan_pairs
 from .gaussian_math import Preprocessed, preprocess
 from .pair_gather import pair_gather, segment_reduce_pairs
 from .pallas.tile_kernel2 import TPX, TPY, K, composite32, grid_dims
-from .pallas.tile_kernel3 import TS, composite16, grid_dims16
+from .pallas.tile_kernel16 import TS, K16, composite16, grid_dims16
 from .renderer_ref import RenderOutput
 
 # kept for backward compatibility with round-1 naming
@@ -78,22 +78,18 @@ def make_plan(
 ) -> PairPlan:
     """Bin Gaussians into a reusable PairPlan (non-differentiable).
 
-    ``tile16`` bins at 16x16 (for the v3 subtile kernel — roughly 2x the
-    pairs at 1/4 the lanes each; see pallas/tile_kernel3.py)."""
+    ``tile16`` bins at 16x16 for the v4 subtile kernel — ~1.4x the pairs
+    at 1/4 the cells each (pallas/tile_kernel16.py); the conic cull is ON
+    for this path (the v4 subtile pixel box is exactly the 16px bin box
+    the cull tests against, and at 16px granularity the cullable
+    sub-threshold rim is most of a splat's AABB)."""
     if active is not None:
         prep = prep._replace(valid=prep.valid & active)
     if tile16:
         n_gx, n_gy = grid_dims16(width, height)
-        # conic_cull off: the v3 kernel's packed 2x2-subtile pixel layout
-        # does not map tile t to the plain [tx*16, tx*16+16) box the cull
-        # tests against — measured on-chip as 66 of 71k gaussians losing
-        # their n_touched contributions (the 32x32 path is verified
-        # touch- and color-exact under the cull on the same scene).
-        # tile16 is the documented dead-end alternative kernel, so it
-        # keeps the uncalled plan rather than a layout-aware cull.
         return plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy, pair_capacity,
-                          chunk=K, radius_scale=radius_scale,
-                          radius_pad=radius_pad, conic_cull=False)
+                          chunk=K16, radius_scale=radius_scale,
+                          radius_pad=radius_pad)
     n_tx, n_ty = grid_dims(width, height)
     return plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity, chunk=K,
                       radius_scale=radius_scale, radius_pad=radius_pad)
@@ -144,13 +140,12 @@ def render(
     if tile16:
         n_gx, n_gy = grid_dims16(width, height)
         if plan is None:
-            # conic_cull off for tile16 — see make_plan
             plan = plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy,
-                              pair_capacity, chunk=K, conic_cull=False)
+                              pair_capacity, chunk=K16)
         table = pack_table(prep)
         feat = pair_gather(table, plan)
         out = composite16(feat, plan.ranges, n_gx, n_gy, width, height,
-                          interpret, need_n_touched, bf16)
+                          interpret, need_n_touched, nt_weight)
     else:
         n_tx, n_ty = grid_dims(width, height)
         if plan is None:

@@ -124,6 +124,13 @@ class BackEnd:
         # case at SLAM lrs; 16 steps stays inside the pad).
         self._plan_cache = None        # (key, plans, iters_used)
         self._plan_reuse = int(T.get("plan_reuse_iters", 16))
+        # coarse-mapping phase (r5): first map_coarse_frac of each steady
+        # keyframe/idle budget renders at map_coarse_level with the
+        # blur-matched low-pass, full-res tail pins the result (see
+        # map()). Default off until the on-chip keyframe-wall and cold
+        # e2e gates are measured; the artifact runner enables it.
+        self.map_coarse_level = int(T.get("map_coarse_level", 2))
+        self.map_coarse_frac = float(T.get("map_coarse_frac", 0.0))
         # sample the 2 random mapping keyframes once per BATCH (constant
         # across its iterations) so their pair plans amortize with the
         # window's; false restores the reference's per-iteration sampling
@@ -264,25 +271,28 @@ class BackEnd:
         return pool[:2]
 
     def _run_batch(self, window_uids, randoms_per_iter, frames_to_optimize,
-                   initialization, need_nt=True):
+                   initialization, need_nt=True, level=1):
         """Run a batch of map iterations as device programs. Batches are
         decomposed into power-of-2 chunks so mapping_steps only ever
         compiles for log-many scan lengths instead of one program per
         distinct iteration count. ``need_nt``: whether this batch's final
         state must carry window n_touched (only the batch whose output
-        feeds visibility/prune consumers pays the F extra renders)."""
+        feeds visibility/prune consumers pays the F extra renders).
+        ``level``: render decimation for every iteration of the batch
+        (mapping_steps level — the r5 coarse-mapping phase)."""
         out = None
         rest = randoms_per_iter
         while rest:
             T = 1 << (len(rest).bit_length() - 1)   # largest pow2 <= len
             out = self._run_batch_exact(
                 window_uids, rest[:T], frames_to_optimize, initialization,
-                need_nt=need_nt and len(rest) == T)
+                need_nt=need_nt and len(rest) == T, level=level)
             rest = rest[T:]
         return out
 
     def _run_batch_exact(self, window_uids, randoms_per_iter,
-                         frames_to_optimize, initialization, need_nt=True):
+                         frames_to_optimize, initialization, need_nt=True,
+                         level=1):
         T = len(randoms_per_iter)
         rows = []
         valid = opt_pose = opt_exp = None
@@ -301,7 +311,8 @@ class BackEnd:
         plan_key = (tuple(int(x) for x in
                           window_idx[0, :self.window_size].tolist()),
                     tuple(bool(v) for v in np.asarray(valid)),
-                    self.gm.capacity, self.pair_capacity, self.tile16)
+                    self.gm.capacity, self.pair_capacity, self.tile16,
+                    level)
         plans_in = None
         if (self.mesh is None and not self.use_oracle
                 and self._plan_cache is not None
@@ -335,7 +346,7 @@ class BackEnd:
             pair_capacity=self.pair_capacity, interpret=self.interpret,
             use_oracle=self.use_oracle, mesh=self.mesh, tile16=self.tile16,
             all_valid=all_valid, need_n_touched=need_nt,
-            window_plans_in=plans_in, n_planned=n_planned)
+            window_plans_in=plans_in, n_planned=n_planned, level=level)
         if out.window_plans is not None:
             # staleness counts EVERY iteration run since the plans were
             # built — including the batch that built them
@@ -380,15 +391,31 @@ class BackEnd:
         if frames_to_optimize is None:
             frames_to_optimize = self.pose_window
 
+        # coarse-mapping phase (r5, VERDICT r4 #3): the first
+        # map_coarse_frac of a steady keyframe/idle budget renders at
+        # map_coarse_level (1/4 the pixels at level 2, blur-matched EWA
+        # low-pass — mapping_steps level) and a full-res tail pins the
+        # converged map at the native image formation. Initialization
+        # and prune passes stay full-res (seeding quality / visibility
+        # consumers), and the tail is never shorter than 2 iterations.
+        coarse_iters = 0
+        if (not initialization and not prune and self.map_coarse_level > 1
+                and self.map_coarse_frac > 0 and iters >= 4):
+            coarse_iters = min(iters - 2,
+                               int(round(iters * self.map_coarse_frac)))
+
         out = None
         remaining = iters
         while remaining > 0:
+            in_coarse = (iters - remaining) < coarse_iters
             if prune or initialization:
                 batch = remaining
             else:
                 batch = min(remaining,
                             self._next_event(self.iteration_count)
                             - self.iteration_count)
+                if in_coarse:
+                    batch = min(batch, coarse_iters - (iters - remaining))
             if initialization:
                 randoms = [[] for _ in range(batch)]
             elif self.map_random_per_batch:
@@ -402,9 +429,10 @@ class BackEnd:
                 randoms = [self._pick_randoms()] * batch
             else:
                 randoms = [self._pick_randoms() for _ in range(batch)]
-            out = self._run_batch(window_uids, randoms, frames_to_optimize,
-                                  initialization,
-                                  need_nt=prune or batch == remaining)
+            out = self._run_batch(
+                window_uids, randoms, frames_to_optimize, initialization,
+                need_nt=(prune or batch == remaining) and not in_coarse,
+                level=self.map_coarse_level if in_coarse else 1)
             remaining -= batch
 
             if prune:

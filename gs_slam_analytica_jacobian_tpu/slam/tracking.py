@@ -1042,7 +1042,7 @@ def track_frame_pyr(
     out = render(gm, cam, None, bg, pair_capacity=cap_final,
                  interpret=interpret, use_oracle=use_oracle,
                  plan=plan_s1, tile16=tile16,
-                 nt_weight=nt_weight and not tile16 and not use_oracle)
+                 nt_weight=nt_weight and not use_oracle)
     med = losses.median_depth(out.depth, out.opacity)
     num_pairs = (jnp.zeros((), jnp.int32) if plan_s1 is None
                  else plan_s1.num_pairs)

@@ -433,13 +433,19 @@ class SyntheticDataset(MonocularDataset):
                     * np.sin(ph[..., None] + self.tex_phase[k][None, None]))
         return np.clip(img, 0.02, 0.98)
 
-    def _render_room(self, w2c):
+    def _render_room(self, w2c, dirs_cam=None):
+        """``dirs_cam``: optional (H, W, 3) per-pixel camera-frame ray
+        directions (z=1 plane). The default is the ideal pinhole grid;
+        the TUM-tree e2e fixture passes undistorted rays to synthesize
+        frames that round-trip through the loader's cv2 undistortion
+        (tests/test_driver_tum.py)."""
         c2w = np.linalg.inv(w2c)
         H, W = self.height, self.width
-        ys, xs = np.mgrid[0:H, 0:W]
-        dx = (xs + 0.5 - self.cx) / self.fx
-        dy = (ys + 0.5 - self.cy) / self.fy
-        dirs_cam = np.stack([dx, dy, np.ones_like(dx)], -1)
+        if dirs_cam is None:
+            ys, xs = np.mgrid[0:H, 0:W]
+            dx = (xs + 0.5 - self.cx) / self.fx
+            dy = (ys + 0.5 - self.cy) / self.fy
+            dirs_cam = np.stack([dx, dy, np.ones_like(dx)], -1)
         dirs_w = dirs_cam @ c2w[:3, :3].T
         org_w = c2w[:3, 3]
         best_t = np.full((H, W), np.inf, np.float32)

@@ -75,15 +75,16 @@ def main():
                             radius_scale=1.1, radius_pad=8.0,
                             tile16=tile16)
     if tile16:
-        from gs_slam_analytica_jacobian_tpu.ops.pallas import tile_kernel3
-        n_gx, n_gy = tile_kernel3.grid_dims16(W, H)
+        from gs_slam_analytica_jacobian_tpu.ops.pallas import tile_kernel16
+        n_gx, n_gy = tile_kernel16.grid_dims16(W, H)
         n_tx, n_ty = 2 * n_gx, 2 * n_gy
     else:
         n_tx, n_ty = tk.grid_dims(W, H)
     ranges = np.asarray(plan.ranges)
     n_pairs = int(plan.num_pairs)
     n_t = ranges[:, 1] - ranges[:, 0]
-    avail = (n_t + tk.K - 1) // tk.K
+    chunk = 128   # tile_kernel16.K16 == tile_kernel2.K == 128
+    avail = (n_t + chunk - 1) // chunk
     print(f"pairs={n_pairs} tiles={n_tx*n_ty} "
           f"chunks_avail={int(avail.sum())} "
           f"mean_pairs_per_tile={n_t.mean():.0f}", flush=True)
@@ -111,14 +112,11 @@ def main():
         from gs_slam_analytica_jacobian_tpu.ops.pair_gather import pair_gather
         feat = pair_gather(table, plan)
         if tile16:
-            from gs_slam_analytica_jacobian_tpu.ops.pallas import tile_kernel3
-            img, _ = tile_kernel3._fwd_impl16(
-                feat, plan.ranges, n_gx, n_gy, W, H, False, False, False)
-            stats = np.asarray(img[5, ::8, ::128])
-            # per-GROUP loop iterations (max over the 4 subtiles) vs the
-            # group's available max
-            avail = avail.reshape(n_gy, 2, n_gx, 2).max(axis=(1, 3))
-            avail = avail.reshape(-1)
+            from gs_slam_analytica_jacobian_tpu.ops.pallas import tile_kernel16
+            img, _ = tile_kernel16._fwd_impl16(
+                feat, plan.ranges, n_gx, n_gy, W, H, False, False)
+            stats = np.asarray(tile_kernel16.chunk_stats_from_img16(
+                img, n_gx, n_gy))
         else:
             img, _ = tk._fwd_impl(feat, plan.ranges, n_tx, n_ty, W, H,
                                   False, False, False)

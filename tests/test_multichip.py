@@ -199,3 +199,50 @@ def test_backend_integrated_mesh(rng):
     be.handle_keyframe(1, [1, 0])
     assert np.all(np.isfinite(np.asarray(be.gm.xyz)[np.asarray(be.gm.active)]))
     assert int(be.gm.num_active()) > 0
+
+
+def test_mapping_coarse_level_optimizes(rng):
+    """mapping_steps level=2 (r5 coarse-mapping phase, VERDICT r4 #3):
+    renders at half resolution against pooled gt with the blur-matched
+    low-pass. The loss must decrease over a short batch, every state stay
+    finite, and the densify stats land in full-res units (g_norm/level,
+    radii*level — see the level note in mapping._mapping_iter)."""
+    cam, gm, adam, store = build_problem(rng)
+    F, T = 8, 4
+    window_idx = jnp.tile(jnp.arange(F, dtype=jnp.int32)[None], (T, 1))
+    window_valid = jnp.ones((F,), bool).at[-1].set(False)
+    opt_pose = jnp.zeros((F,), bool).at[1].set(True)
+    opt_exp = jnp.zeros((F,), bool).at[1].set(True)
+    lrs = {"xyz": 1e-3, "features_dc": 2e-3, "features_rest": 1e-4,
+           "opacity": 5e-2, "scaling": 1e-3, "rotation": 1e-3}
+
+    def run(level, T_):
+        return mapping.mapping_steps(
+            gm, adam, store, window_idx[:T_], window_valid, opt_pose,
+            opt_exp, PoseAdamState.zero(F), cam, jnp.zeros(3), lrs,
+            jnp.full((T_,), 1e-3), 1e-3, 1e-3, 0.01,
+            n_window=4, alpha=0.95, monocular=False,
+            pair_capacity=1 << 12, use_oracle=False, interpret=True,
+            level=level)
+
+    out1_first = run(2, 1)
+    out2 = run(2, T)
+    assert np.isfinite(float(out2.loss))
+    # the batch's last-iteration loss must be below the first iteration's
+    assert float(out2.loss) < float(out1_first.loss)
+    for f in ("xyz", "scaling", "opacity", "features_dc"):
+        assert np.all(np.isfinite(np.asarray(getattr(out2.gm, f)))), f
+    # densify stats accumulated and rescaled into full-res units: radii
+    # from the level-2 render are level pixels; max_radii2d must carry
+    # ~2x them (compare against a full-res batch's magnitudes)
+    out_full = run(1, T)
+    r2 = np.asarray(out2.gm.max_radii2d)
+    r1 = np.asarray(out_full.gm.max_radii2d)
+    both = (r1 > 2.0) & (r2 > 0)
+    assert both.sum() > 10
+    ratio = r2[both] / r1[both]
+    # same splats, half-res render, radii rescaled by level -> ~1 (the
+    # +0.3 low-pass dilation and blur matching skew it slightly up)
+    assert 0.7 < np.median(ratio) < 1.5, np.median(ratio)
+    # stats denominators accumulated on visible gaussians
+    assert float(jnp.sum(out2.gm.denom)) > 0

