@@ -68,7 +68,8 @@ def _rect(mean2d, rx, ry, tile_w, tile_h, n_tx, n_ty):
 
 
 @partial(jax.jit, static_argnames=(
-    "tile_w", "tile_h", "n_tx", "n_ty", "capacity", "chunk", "conic_cull"))
+    "tile_w", "tile_h", "n_tx", "n_ty", "capacity", "chunk", "conic_cull",
+    "opa_growth"))
 def plan_pairs(
     prep: Preprocessed,
     tile_w: int, tile_h: int, n_tx: int, n_ty: int,
@@ -77,6 +78,7 @@ def plan_pairs(
     radius_scale: float = 1.0,
     radius_pad: float = 0.0,
     conic_cull: bool = True,
+    opa_growth: float = 1.0,
 ) -> PairPlan:
     """Expand valid Gaussians into depth-sorted, tile-grouped pair slots.
 
@@ -180,14 +182,17 @@ def plan_pairs(
         # keep iff peak alpha = opa * exp(-qmin/2) could reach the
         # kernel's skip threshold; the 0.5 slack absorbs the conic drift
         # the box pad cannot (the pad budgets mean2d motion only).
-        # Opacity itself also drifts under plan reuse: mapping reuses a
-        # plan for up to plan_reuse_iters=16 Adam steps at
+        # ``opa_growth`` budgets opacity drift under plan reuse: mapping
+        # reuses a plan for up to plan_reuse_iters=16 Adam steps at
         # opacity_lr=0.05, so a logit can move ~0.8 and a small (e.g.
         # freshly densified) opacity can grow ~e^0.8 ~ 2.2x before the
-        # rebuild — budget that growth here so pairs culled at build
-        # time cannot become visible (and silently gradient-dropped)
-        # mid-reuse. 2.23 = exp(0.05 * 16)*1.003 rounded up.
-        opa_eff = jnp.minimum(opa * 2.23, 1.0)
+        # rebuild — the mapping path passes 2.23 so pairs culled at
+        # build time cannot become visible (and silently gradient-
+        # dropped) mid-reuse. Tracking plans keep 1.0: gaussian params
+        # are frozen within a frame (only the pose moves, which the box
+        # pad budgets), and the weaker threshold costs real pairs at
+        # 16px granularity.
+        opa_eff = jnp.minimum(opa * opa_growth, 1.0)
         qthr = 2.0 * jnp.log(jnp.maximum(opa_eff, 1e-12) * (2.0 * 255.0))
         tile_id = jnp.where(pair_ok & (qmin > qthr), n_tiles, tile_id)
 

@@ -115,8 +115,13 @@ def _chunk_terms16(feat, px, py, t16x, t16y, row_ok):
     return a_un, alpha, ok, dx, dy
 
 
+NBUF = 4          # input-DMA ring depth: a 16px chunk's compute (~1-2 us)
+                  # cannot hide the HBM copy latency that a 32x32 chunk's
+                  # ~9 us could, so the ring runs 3 chunks ahead
+
+
 def make_forward_kernel16(n_tx16, W, H, K, with_ntouch=True,
-                          nt_weight=False, early_exit=True):
+                          nt_weight=False, early_exit=False):
     """Forward kernel over 32x32 groups; 4 sequential 16x16 subtiles.
 
     ``early_exit=False`` drops the per-chunk cross-lane done-reduce from
@@ -146,11 +151,17 @@ def make_forward_kernel16(n_tx16, W, H, K, with_ntouch=True,
             n_chunks.append((n + K - 1) // K)
 
         def dma_in(j, c):
-            slot = jax.lax.rem(c, 2)
+            slot = jax.lax.rem(c, NBUF)
             return pltpu.make_async_copy(
                 feat_hbm.at[:, pl.ds(pl.multiple_of(starts[j] + c * K, K),
                                      K)],
                 feat_vmem.at[slot], sem_in.at[slot])
+
+        def prefetch(j):
+            for w in range(NBUF - 1):
+                @pl.when(n_chunks[j] > w)
+                def _():
+                    dma_in(j, w).start()
 
         if with_ntouch:
             def nt_dma(j, c):
@@ -161,9 +172,7 @@ def make_forward_kernel16(n_tx16, W, H, K, with_ntouch=True,
                         pl.multiple_of(starts[j] + c * K, K), K)],
                     sem_out.at[slot])
 
-        @pl.when(n_chunks[0] > 0)
-        def _():
-            dma_in(0, 0).start()
+        prefetch(0)
 
         for j in range(NS):
             px, py, pix_in = _pixel_rows16(gy, gx, j, W, H)
@@ -178,12 +187,12 @@ def make_forward_kernel16(n_tx16, W, H, K, with_ntouch=True,
                      t16x=t16x, t16y=t16y, pix_in_f=pix_in_f):
                 c, (T_carry, done, acc) = state
 
-                @pl.when(c + 1 < nc)
+                @pl.when(c + (NBUF - 1) < nc)
                 def _():
-                    dma_in(j, c + 1).start()
+                    dma_in(j, c + (NBUF - 1)).start()
 
                 dma_in(j, c).wait()
-                slot = jax.lax.rem(c, 2)
+                slot = jax.lax.rem(c, NBUF)
                 feat = jnp.transpose(feat_vmem[slot])         # (K, F)
                 rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
                 row_ok = rows < (n_live - c * K)
@@ -255,19 +264,19 @@ def make_forward_kernel16(n_tx16, W, H, K, with_ntouch=True,
             c_end, (T_f, _, acc_f) = jax.lax.while_loop(
                 cond, body, (0, (T0, done0, acc0)))
 
-            # drain the in-flight input prefetch on early exit
-            @pl.when(c_end < nc)
-            def _():
-                dma_in(j, c_end).wait()
+            # drain in-flight input prefetches (early exit, or the ring's
+            # tail NBUF-1 copies beyond the last processed chunk)
+            for w in range(NBUF - 1):
+                @pl.when(c_end + w < nc)
+                def _(w=w):
+                    dma_in(j, c_end + w).wait()
 
-            # prefetch the NEXT subtile's first chunk before the output
+            # prefetch the NEXT subtile's first chunks before the output
             # assembly below — keeps the input pipeline busy across the
             # subtile boundary (all of this subtile's input copies are
-            # drained at this point, so slot 0 is free)
+            # drained at this point, so the ring slots are free)
             if j + 1 < NS:
-                @pl.when(n_chunks[j + 1] > 0)
-                def _():
-                    dma_in(j + 1, 0).start()
+                prefetch(j + 1)
 
             if with_ntouch:
                 @pl.when(c_end >= 2)
@@ -287,7 +296,7 @@ def make_forward_kernel16(n_tx16, W, H, K, with_ntouch=True,
     return kernel
 
 
-def make_backward_kernel16(n_tx16, W, H, K, early_exit=True):
+def make_backward_kernel16(n_tx16, W, H, K, early_exit=False):
     def kernel(ranges_ref, feat_hbm, fwd_ref, cot_ref, dfz_ref, dfeat_hbm,
                feat_vmem, dgrad_vmem, sem_in, sem_out):
         del dfz_ref  # aliased into dfeat_hbm (zero-init)
@@ -305,11 +314,17 @@ def make_backward_kernel16(n_tx16, W, H, K, early_exit=True):
             n_chunks.append((n + K - 1) // K)
 
         def dma_in(j, c):
-            slot = jax.lax.rem(c, 2)
+            slot = jax.lax.rem(c, NBUF)
             return pltpu.make_async_copy(
                 feat_hbm.at[:, pl.ds(pl.multiple_of(starts[j] + c * K, K),
                                      K)],
                 feat_vmem.at[slot], sem_in.at[slot])
+
+        def prefetch(j):
+            for w in range(NBUF - 1):
+                @pl.when(n_chunks[j] > w)
+                def _():
+                    dma_in(j, w).start()
 
         def out_dma(j, c):
             slot = jax.lax.rem(c, 2)
@@ -319,9 +334,7 @@ def make_backward_kernel16(n_tx16, W, H, K, early_exit=True):
                     pl.multiple_of(starts[j] + c * K, K), K)],
                 sem_out.at[slot])
 
-        @pl.when(n_chunks[0] > 0)
-        def _():
-            dma_in(0, 0).start()
+        prefetch(0)
 
         for j in range(NS):
             px, py, pix_in = _pixel_rows16(gy, gx, j, W, H)
@@ -344,12 +357,12 @@ def make_backward_kernel16(n_tx16, W, H, K, early_exit=True):
                      T_final=T_final, Stot=Stot):
                 c, (T_carry, done, prefA) = state
 
-                @pl.when(c + 1 < nc)
+                @pl.when(c + (NBUF - 1) < nc)
                 def _():
-                    dma_in(j, c + 1).start()
+                    dma_in(j, c + (NBUF - 1)).start()
 
                 dma_in(j, c).wait()
-                slot = jax.lax.rem(c, 2)
+                slot = jax.lax.rem(c, NBUF)
                 feat = jnp.transpose(feat_vmem[slot])         # (K, F)
                 rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
                 row_ok = rows < (n_live - c * K)
@@ -452,14 +465,13 @@ def make_backward_kernel16(n_tx16, W, H, K, early_exit=True):
             c_end, _ = jax.lax.while_loop(
                 cond, body, (0, (T0, done0, pA0)))
 
-            @pl.when(c_end < nc)
-            def _():
-                dma_in(j, c_end).wait()
+            for w in range(NBUF - 1):
+                @pl.when(c_end + w < nc)
+                def _(w=w):
+                    dma_in(j, c_end + w).wait()
 
             if j + 1 < NS:
-                @pl.when(n_chunks[j + 1] > 0)
-                def _():
-                    dma_in(j + 1, 0).start()
+                prefetch(j + 1)
 
             # drain the (up to two) in-flight output copies before the
             # next subtile reuses the dgrad slots
@@ -514,9 +526,13 @@ def chunk_stats_from_img16(img_blocks, n_gx, n_gy):
     jax.jit, static_argnames=("n_gx", "n_gy", "W", "H", "interpret",
                               "with_ntouch", "nt_weight", "early_exit"))
 def _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret=False,
-                with_ntouch=True, nt_weight=False, early_exit=True):
+                with_ntouch=True, nt_weight=False, early_exit=False):
     B_al = feat.shape[0]
     n_tx16 = 2 * n_gx
+    # barrier: without it XLA fuses the upstream pair gather INTO this
+    # transpose (a per-element gather in transposed order) — measured
+    # 50.8 ms vs 14.3 ms for the same stages materialized (r5)
+    feat = jax.lax.optimization_barrier(feat)
     feat_v = jnp.transpose(feat)                  # (FEAT_DIM, B_al)
     # ranges prefetched FLAT (2*T,): 2D SMEM operands are lane-padded to
     # 128, which blows the 1 MB SMEM at production tile counts (3344
@@ -537,9 +553,9 @@ def _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret=False,
             ],
             out_specs=[img_spec, pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_DIM, K16), jnp.float32),
+                pltpu.VMEM((NBUF, FEAT_DIM, K16), jnp.float32),
                 pltpu.VMEM((2, 1, K16), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -559,8 +575,8 @@ def _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret=False,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=img_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_DIM, K16), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, FEAT_DIM, K16), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     img = pl.pallas_call(
@@ -577,9 +593,10 @@ def _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret=False,
     jax.jit, static_argnames=("n_gx", "n_gy", "W", "H", "interpret",
                               "early_exit"))
 def _bwd_impl16(feat, ranges, fwd_img, cot_img, n_gx, n_gy, W, H,
-                interpret=False, early_exit=True):
+                interpret=False, early_exit=False):
     B_al = feat.shape[0]
     n_tx16 = 2 * n_gx
+    feat = jax.lax.optimization_barrier(feat)     # see _fwd_impl16
     feat_v = jnp.transpose(feat)
     ranges = ranges.reshape(-1)                   # flat SMEM prefetch
     kernel = make_backward_kernel16(n_tx16, W, H, K16, early_exit)
@@ -596,9 +613,9 @@ def _bwd_impl16(feat, ranges, fwd_img, cot_img, n_gx, n_gy, W, H,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((NBUF, FEAT_DIM, K16), jnp.float32),
             pltpu.VMEM((2, FEAT_DIM, K16), jnp.float32),
-            pltpu.VMEM((2, FEAT_DIM, K16), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -618,7 +635,7 @@ def _bwd_impl16(feat, ranges, fwd_img, cot_img, n_gx, n_gy, W, H,
     jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def composite16(feat, ranges, n_gx, n_gy, W, H,
                 interpret=False, with_ntouch=True,
-                nt_weight=False, early_exit=True) -> Composite2Out:
+                nt_weight=False, early_exit=False) -> Composite2Out:
     """Differentiable 16x16-tiled compositing (v4 production tile16 path).
 
     feat: (B_al, FEAT_DIM) aligned pair records from a 16px plan
@@ -633,7 +650,7 @@ def composite16(feat, ranges, n_gx, n_gy, W, H,
 
 
 def _c16_fwd(feat, ranges, n_gx, n_gy, W, H, interpret=False,
-             with_ntouch=True, nt_weight=False, early_exit=True):
+             with_ntouch=True, nt_weight=False, early_exit=False):
     img, ntouch = _fwd_impl16(feat, ranges, n_gx, n_gy, W, H, interpret,
                               with_ntouch, nt_weight, early_exit)
     asm = assemble_image16(img, n_gx, n_gy, W, H)

@@ -75,6 +75,7 @@ def make_plan(
     radius_scale: float = 1.0,
     radius_pad: float = 0.0,
     tile16: bool = False,
+    opa_growth: float = 1.0,
 ) -> PairPlan:
     """Bin Gaussians into a reusable PairPlan (non-differentiable).
 
@@ -89,10 +90,11 @@ def make_plan(
         n_gx, n_gy = grid_dims16(width, height)
         return plan_pairs(prep, TS, TS, 2 * n_gx, 2 * n_gy, pair_capacity,
                           chunk=K16, radius_scale=radius_scale,
-                          radius_pad=radius_pad)
+                          radius_pad=radius_pad, opa_growth=opa_growth)
     n_tx, n_ty = grid_dims(width, height)
     return plan_pairs(prep, TPX, TPY, n_tx, n_ty, pair_capacity, chunk=K,
-                      radius_scale=radius_scale, radius_pad=radius_pad)
+                      radius_scale=radius_scale, radius_pad=radius_pad,
+                      opa_growth=opa_growth)
 
 
 @functools.partial(

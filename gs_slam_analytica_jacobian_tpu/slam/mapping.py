@@ -513,7 +513,8 @@ def mapping_steps(
                 cam.tanfovx, cam.tanfovy)
             return make_plan(prep, cam.width, cam.height, pair_capacity,
                              active=gm.active, radius_scale=1.1,
-                             radius_pad=6.0, tile16=tile16)
+                             radius_pad=6.0, tile16=tile16,
+                             opa_growth=2.23)
 
         def build_plan(args):
             idx, vf = args
@@ -551,7 +552,8 @@ def mapping_steps(
                 cam.tanfovx, cam.tanfovy)
             return make_plan(prep, cam.width, cam.height, pair_capacity,
                              active=gm.active, radius_scale=1.1,
-                             radius_pad=6.0, tile16=tile16)
+                             radius_pad=6.0, tile16=tile16,
+                             opa_growth=2.23)
 
         def build_plan(args):
             idx, vf = args

@@ -71,8 +71,9 @@ def main():
 
     print(f"devices={jax.devices()} N={N}", flush=True)
 
+    pad = float(os.environ.get("PAD", "4"))
     plan = make_render_plan(gm, cam, pair_capacity=PAIR_CAP,
-                            radius_scale=1.1, radius_pad=8.0,
+                            radius_scale=1.1, radius_pad=pad,
                             tile16=tile16)
     if tile16:
         from gs_slam_analytica_jacobian_tpu.ops.pallas import tile_kernel16
@@ -171,13 +172,44 @@ def main():
             return acc
         return f
 
+    def mk_kern(reps):
+        """Time the Pallas compositing call ALONE (pre-gathered feat)."""
+        prep0 = prep_fn(jnp.zeros(6))
+        prep0 = prep0._replace(valid=prep0.valid & gm.active)
+        table0 = rt.pack_table(prep0)
+        from gs_slam_analytica_jacobian_tpu.ops.pair_gather import pair_gather
+        feat0 = pair_gather(table0, plan)
+
+        @jax.jit
+        def f(feat):
+            acc = jnp.zeros(())
+            for r in range(reps):
+                if tile16:
+                    from gs_slam_analytica_jacobian_tpu.ops.pallas import (
+                        tile_kernel16 as tkk)
+                    img, _ = tkk._fwd_impl16(
+                        feat + acc * 1e-30, plan.ranges, n_gx, n_gy, W, H,
+                        False, False)
+                else:
+                    img, _ = tk._fwd_impl(
+                        feat + acc * 1e-30, plan.ranges, n_tx, n_ty, W, H,
+                        False, False)
+                acc = acc + img[0, 0, 0]
+            return acc
+        return lambda feat: f(feat)
+
     def mk_fwd(reps):
+        # reps MUST chain through acc (tau + acc*1e-30): the previous
+        # form tau*(1e-30*(r+1)) with tau=0 left every rep's PURE prefix
+        # (preprocess/gather) identical, so XLA CSE'd it across reps and
+        # the per-rep delta over-attributed to the side-effecting kernel
+        # call — the r5 'phantom 50 ms' (PERF.md r5)
         @jax.jit
         def f(tau):
             acc = jnp.zeros(())
             for r in range(reps):
                 out = render(gm, cam,
-                             PoseState(tau=tau * (1e-30 * (r + 1)),
+                             PoseState(tau=tau + acc * 1e-30,
                                        exposure_a=jnp.zeros(()),
                                        exposure_b=jnp.zeros(())),
                              bg, pair_capacity=PAIR_CAP, plan=plan,
@@ -208,6 +240,15 @@ def main():
         return f
 
     z6 = jnp.zeros(6)
+    if "kern" in stages:
+        prep0 = prep_fn(jnp.zeros(6))
+        prep0 = prep0._replace(valid=prep0.valid & gm.active)
+        from gs_slam_analytica_jacobian_tpu.ops.pair_gather import pair_gather
+        feat0 = pair_gather(rt.pack_table(prep0), plan)
+        def mk_kern2(reps):
+            fn = mk_kern(reps)
+            return fn
+        measure("compositing kernel only", mk_kern, (feat0,))
     if "fwd" in stages:
         measure("composite fwd (render, no ntouch)", mk_fwd, (z6,))
     if "grad" in stages:
