@@ -544,7 +544,7 @@ def main():
             "kernel_mxu": bool(kw.get("kernel_mxu", False)),
             "final_level": kw.get("final_level", 1),
             "rep_walls_s": [round(w, 3) for w in rep_walls],
-            "warm_start": "const_vel" if const_vel else "prev",
+            "warm_start": warm_mode,
             "pose_err_mean_m": round(float(np.mean(errs)), 6),
             "pose_err_max_m": round(float(np.max(errs)), 6),
             "pair_cells_per_frame": (None if cells_per_frame is None
