@@ -594,12 +594,27 @@ class BackEnd:
             # (1,T) — plus the covisibility-prune consumers
             full_win = [win[0]] * self.window_size
             randoms2 = [win[0], win[0]]
-            for iters in (min(kf_iters, 10), 8, 6, 3):
-                self._run_batch(full_win, [list(randoms2)] * iters,
-                                self.pose_window, False)
-                n += iters
+            levels = ([1] if self.map_coarse_frac <= 0
+                      or self.map_coarse_level <= 1
+                      else [1, self.map_coarse_level])
+            for lv in levels:
+                for iters in (min(kf_iters, 10), 8, 6, 3):
+                    self._run_batch(full_win, [list(randoms2)] * iters,
+                                    self.pose_window, False, level=lv)
+                    n += iters
             out = self._run_batch(full_win, [list(randoms2)],
                                   self.pose_window, False)
+            # the densify/opacity-reset/capacity-surgery programs are
+            # reached only at schedule boundaries with REAL kill/clone
+            # counts (r4: "first densify-with-kills discovered in-loop",
+            # 90 s at keyframe 3) — run them once on the throwaway state
+            self._densify_and_prune(self.gaussian_th, self.gaussian_extent,
+                                    self.size_threshold)
+            vis_any = jnp.any(out.radii > 0, axis=0)
+            self.gm, self.gm_adam = gmap.reset_opacity_nonvisible(
+                self.gm, self.gm_adam, vis_any)
+            self._invalidate_plans()
+            n += 1
             # suppress the "Initialized SLAM" transition log — this is a
             # throwaway window (the snapshot restores the real flag)
             self.initialized = True
