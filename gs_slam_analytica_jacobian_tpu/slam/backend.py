@@ -615,6 +615,20 @@ class BackEnd:
                 self.gm, self.gm_adam, vis_any)
             self._invalidate_plans()
             n += 1
+            # the per-KEYFRAME seed/extend programs are shaped by
+            # pcd_downsample (64), distinct from the init ones (16) —
+            # measured 22 s at the first real keyframe in-loop (r5)
+            slot0 = self.uid_to_slot[win[0]]
+            ds_cfg = self.config["Dataset"]
+            block = seeding.seed_from_frame(
+                self.store.image(slot0), self.store.depth(slot0)[0],
+                self.cam, self._w2c(slot0), win[0], self._split_key(),
+                ds_cfg["pcd_downsample"], ds_cfg["point_size"],
+                ds_cfg.get("adaptive_pointsize", False),
+                self.gm.max_sh_degree)
+            self._ensure_capacity(int(jnp.sum(block.valid)))
+            self.gm, self.gm_adam, _ = gmap.extend(
+                self.gm, self.gm_adam, block)
             # suppress the "Initialized SLAM" transition log — this is a
             # throwaway window (the snapshot restores the real flag)
             self.initialized = True

@@ -473,6 +473,15 @@ def mapping_steps(
     `map(iters=N)` call is a single XLA execution. ``mesh`` enables
     keyframe-data-parallel rendering (see _mapping_iter)."""
     F = window_idx.shape[1]
+    if level > 1:
+        # coarse batches optimize MAP parameters only: keyframe poses
+        # are what ATE measures, and a half-res photometric fixed point
+        # carries a sub-pixel pose bias (the same effect blur-matching
+        # reduced but did not remove in tracking, PERF.md r4) — the
+        # full-res tail owns the pose/exposure updates (measured r5:
+        # 1.87 mm final ATE with coarse pose steps vs the <= 1 mm gate)
+        optimize_pose = jnp.zeros_like(optimize_pose)
+        optimize_exposure = jnp.zeros_like(optimize_exposure)
     nt0 = jnp.zeros((F, gm.capacity), jnp.int32)
     r0 = jnp.zeros((F, gm.capacity), jnp.float32)
 
