@@ -473,15 +473,14 @@ def mapping_steps(
     `map(iters=N)` call is a single XLA execution. ``mesh`` enables
     keyframe-data-parallel rendering (see _mapping_iter)."""
     F = window_idx.shape[1]
-    if level > 1:
-        # coarse batches optimize MAP parameters only: keyframe poses
-        # are what ATE measures, and a half-res photometric fixed point
-        # carries a sub-pixel pose bias (the same effect blur-matching
-        # reduced but did not remove in tracking, PERF.md r4) — the
-        # full-res tail owns the pose/exposure updates (measured r5:
-        # 1.87 mm final ATE with coarse pose steps vs the <= 1 mm gate)
-        optimize_pose = jnp.zeros_like(optimize_pose)
-        optimize_exposure = jnp.zeros_like(optimize_exposure)
+    # NOTE (r5, measured): freezing pose/exposure updates in coarse
+    # batches was tried against the hypothesis that the half-res
+    # photometric fixed point biases the ATE-critical keyframe poses —
+    # the fresh-process e2e measured WORSE with the freeze (2.28 mm
+    # final ATE, results/tpu_async_r5_cold3) than with coarse pose
+    # steps (1.87 mm, ..._cold2): the pose-optimization budget matters
+    # more than the coarse bias at these window sizes, so coarse
+    # batches keep optimizing poses.
     nt0 = jnp.zeros((F, gm.capacity), jnp.int32)
     r0 = jnp.zeros((F, gm.capacity), jnp.float32)
 
