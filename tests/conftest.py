@@ -33,6 +33,12 @@ if not TPU_LANE:
         pass
     # Key the cache dir by jax version: entries serialized by a different
     # jax/PJRT build deserialize into segfaults, not cache misses.
+    # KNOWN HAZARD (r5): a pytest process killed mid-compile (timeout,
+    # OOM) can leave a partial cache entry that later SEGFAULTS the
+    # cache-write path (jax compilation_cache.put_executable_and_time)
+    # deterministically at the same test. If the suite starts dying at
+    # a fixed percentage with a "Fatal Python error" in
+    # put_executable_and_time, delete this directory and rerun.
     jax.config.update(
         "jax_compilation_cache_dir", f"/tmp/jax_cache_gsslam_{jax.__version__}"
     )
