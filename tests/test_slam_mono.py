@@ -108,12 +108,16 @@ def test_mono_reset_on_lost_overlap():
     assert all(u >= 3 for u in fe.current_window), fe.current_window
 
 
-def test_slam_mono_smoke_fast():
+def test_slam_mono_smoke_fast(no_persistent_cache):
     """Default-lane mono smoke (VERDICT r4 weak #5: the default lane
     exercised no monocular loop, so a regression in depth-prior seeding
     or RGB-only tracking could pass it). Trimmed to ~1 min: 5 frames at
     64x48 with the smoke-test iteration budget; the full-accuracy 8-frame
-    run stays in the slow lane below."""
+    run stays in the slow lane below.
+
+    ``no_persistent_cache``: the mono mapping executable is the one the
+    CPU PJRT serializer deterministically segfaults on (see the fixture
+    docstring) — reproduced at suite-position 77% in r5."""
     from gs_slam_analytica_jacobian_tpu.slam.driver import SLAM
 
     cfg = mono_config(width=64, height=48, n_frames=5, window_size=4)
